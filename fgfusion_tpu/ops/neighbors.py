@@ -1,0 +1,101 @@
+"""Fixed-K radius neighbor search, on device, static shapes.
+
+TPU-native replacement for the reference's C++ `radius_neighbors`
+extension (cpp_wrappers/.../neighbors.cpp) and the PyTorch3D
+`ball_query` GPU path (finegrained_kpconv.py:266-293).
+
+Semantics:
+- for each query, up to K support indices within `radius`; missing
+  slots carry the sentinel index `n_supports` ("shadow neighbor",
+  matching neighbors.cpp:199-203 / finegrained_kpconv.py:291).
+- neighbors are returned sorted by ascending distance, so column 0 is
+  the nearest support — this makes `closest_pool` (upsampling) exact
+  and is strictly more stable than the reference's
+  first-K-in-index-order GPU path.
+
+Implemented as tiled pairwise distances (the q·sᵀ term rides the MXU)
+with top-k per tile, mapped over query chunks to bound memory at
+O(chunk * N_support) instead of O(N_query * N_support).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "chunk"))
+def radius_knn(
+    queries: jax.Array,
+    q_mask: jax.Array,
+    supports: jax.Array,
+    s_mask: jax.Array,
+    *,
+    radius: float,
+    k: int,
+    chunk: int = 2048,
+):
+    """Nearest-K-within-radius for one padded cloud pair.
+
+    Args:
+        queries: (Nq, 3) float32 padded.
+        q_mask: (Nq,) bool.
+        supports: (Ns, 3) float32 padded.
+        s_mask: (Ns,) bool.
+        radius: search radius (static).
+        k: neighbor cap (static) — the reference's `neighborhood_limits`.
+        chunk: query tile size (static).
+
+    Returns:
+        idx: (Nq, k) int32 — support indices, sentinel = Ns.
+    """
+    nq, ns = queries.shape[0], supports.shape[0]
+    sentinel = jnp.int32(ns)
+
+    nq_pad = _round_up(max(nq, 1), chunk)
+    q_padded = jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
+    qm_padded = jnp.pad(q_mask, (0, nq_pad - nq))
+
+    s_norm2 = jnp.sum(supports * supports, axis=-1)  # (Ns,)
+    inf = jnp.float32(jnp.inf)
+    s_invalid = ~s_mask
+
+    def one_chunk(args):
+        q, qm = args  # (chunk, 3), (chunk,)
+        q_norm2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (chunk, 1)
+        # Squared distances; the cross term uses the MXU. Full f32
+        # precision is required: the default TPU bf16 matmul pass
+        # misclassifies points near the radius boundary.
+        cross = jnp.matmul(q, supports.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = q_norm2 - 2.0 * cross + s_norm2[None, :]
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(s_invalid[None, :], inf, d2)
+        neg, idx = jax.lax.top_k(-d2, k)  # ascending distance
+        d2_k = -neg
+        within = (d2_k < radius * radius) & qm[:, None]
+        return jnp.where(within, idx.astype(jnp.int32), sentinel)
+
+    chunks = (
+        q_padded.reshape(nq_pad // chunk, chunk, 3),
+        qm_padded.reshape(nq_pad // chunk, chunk),
+    )
+    idx = jax.lax.map(one_chunk, chunks)
+    return idx.reshape(nq_pad, k)[:nq]
+
+
+def gather_neighbors(values: jax.Array, idx: jax.Array, fill):
+    """Gather rows of `values` (Ns, D) at idx (..., K), sentinel -> fill.
+
+    Mirrors the reference's shadow-row trick (append a fill row, then
+    index) without the concat: clips the index and masks.
+    """
+    ns = values.shape[0]
+    safe = jnp.clip(idx, 0, ns - 1)
+    out = values[safe]
+    valid = (idx < ns)[..., None]
+    return jnp.where(valid, out, jnp.asarray(fill, dtype=values.dtype))

@@ -1,0 +1,174 @@
+"""Golden-value tests for the device geometry ops against brute-force
+numpy implementations of the reference C++ semantics
+(grid_subsampling.cpp:5-106, neighbors.cpp:5-56)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgfusion_tpu.ops import grid_subsample, radius_knn, build_pyramid, PyramidSpec
+from fgfusion_tpu.ops.neighbors import gather_neighbors
+
+
+def ref_grid_subsample(points, cell):
+    """Numpy mirror of the C++ barycenter voxel subsample."""
+    origin = np.floor(points.min(axis=0) / cell) * cell
+    ijk = np.floor((points - origin) / cell).astype(np.int64)
+    voxels = {}
+    for p, key in zip(points, map(tuple, ijk)):
+        voxels.setdefault(key, []).append(p)
+    return {k: np.mean(v, axis=0) for k, v in voxels.items()}
+
+
+def ref_radius_neighbors(queries, supports, radius):
+    d = np.linalg.norm(queries[:, None] - supports[None], axis=-1)
+    return [set(np.nonzero(row < radius)[0]) for row in d]
+
+
+def test_grid_subsample_matches_reference_semantics(rng):
+    n, cap = 300, 256
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    out_p, out_m, n_vox = jax.jit(grid_subsample, static_argnums=(2, 3))(
+        jnp.asarray(pts), jnp.asarray(mask), 0.5, cap)
+    out_p, out_m = np.asarray(out_p), np.asarray(out_m)
+
+    ref = ref_grid_subsample(pts, 0.5)
+    assert int(n_vox) == len(ref)
+    assert out_m.sum() == len(ref)
+
+    got = sorted(map(tuple, np.round(out_p[out_m], 5)))
+    want = sorted(map(tuple, np.round(np.stack(list(ref.values())), 5)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_grid_subsample_ignores_padding(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    mask = np.ones(100, bool)
+    mask[60:] = False
+    # padded garbage that would otherwise dominate
+    pts[60:] = rng.normal(size=(40, 3)) * 100
+
+    out_p, out_m, n_vox = grid_subsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 128)
+    ref = ref_grid_subsample(pts[:60], 0.5)
+    assert int(np.asarray(out_m).sum()) == len(ref)
+    assert int(n_vox) == len(ref)
+    # invalid slots carry the 1e6 sentinel
+    assert np.all(np.asarray(out_p)[~np.asarray(out_m)] == 1e6)
+
+
+def test_grid_subsample_overflow_detection(rng):
+    pts = rng.normal(size=(64, 3)).astype(np.float32) * 50  # ~64 distinct voxels
+    mask = np.ones(64, bool)
+    _, out_m, n_vox = grid_subsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 16)
+    assert int(n_vox) > 16          # true count reported
+    assert np.asarray(out_m).sum() <= 16  # capacity respected
+
+
+def test_radius_knn_matches_bruteforce(rng):
+    nq, ns, k, radius = 150, 200, 12, 0.6
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    qm = np.ones(nq, bool)
+    sm = np.ones(ns, bool)
+    idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(qm),
+                                jnp.asarray(s), jnp.asarray(sm),
+                                radius=radius, k=k, chunk=64))
+    ref = ref_radius_neighbors(q, s, radius)
+    d = np.linalg.norm(q[:, None] - s[None], axis=-1)
+    for i in range(nq):
+        got = [j for j in idx[i] if j < ns]
+        # no duplicates, all within radius
+        assert len(set(got)) == len(got)
+        assert all(d[i, j] < radius for j in got)
+        if len(ref[i]) <= k:
+            assert set(got) == ref[i]
+        else:
+            # the k nearest of the in-radius set
+            nearest = set(np.argsort(d[i])[:k])
+            assert set(got) == nearest
+        # sorted ascending by distance
+        dist_list = [d[i, j] for j in got]
+        assert dist_list == sorted(dist_list)
+
+
+def test_radius_knn_masks(rng):
+    q = rng.normal(size=(20, 3)).astype(np.float32)
+    s = q.copy()
+    qm = np.ones(20, bool); qm[10:] = False
+    sm = np.ones(20, bool); sm[5:] = False
+    idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(qm),
+                                jnp.asarray(s), jnp.asarray(sm),
+                                radius=10.0, k=8, chunk=16))
+    assert np.all(idx[10:] == 20)          # invalid queries -> all sentinel
+    real = idx[idx < 20]
+    assert np.all(real < 5)                # only valid supports returned
+
+
+def test_gather_neighbors_sentinel():
+    vals = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    idx = jnp.array([[0, 3, 4], [4, 4, 4]], dtype=jnp.int32)  # 4 = sentinel
+    out = np.asarray(gather_neighbors(vals, idx, 0.0))
+    np.testing.assert_allclose(out[0, 0], [0, 1, 2])
+    np.testing.assert_allclose(out[0, 2], 0.0)
+    np.testing.assert_allclose(out[1], 0.0)
+
+
+@pytest.fixture
+def small_spec():
+    return PyramidSpec(
+        architecture=("simple", "resnetb", "resnetb_strided", "resnetb",
+                      "resnetb_strided", "resnetb"),
+        first_subsampling_dl=0.06,
+        conv_radius=2.5,
+        neighborhood_limits=(16, 16, 16),
+        capacities=(256, 128, 64),
+    )
+
+
+def test_pyramid_shapes_and_invariants(rng, small_spec):
+    C = 4
+    pts = rng.normal(size=(C, 256, 3)).astype(np.float32) * 0.5
+    mask = np.ones((C, 256), bool)
+    mask[:, 200:] = False
+    pts[:, 200:] = 1e6
+
+    meta = jax.jit(build_pyramid, static_argnums=2)(
+        jnp.asarray(pts), jnp.asarray(mask), small_spec)
+
+    assert len(meta["points"]) == 3
+    assert len(meta["neighbors"]) == 3
+    assert len(meta["pools"]) == 2
+
+    for l in range(3):
+        nl = small_spec.capacities[l]
+        assert meta["points"][l].shape == (C, nl, 3)
+        assert meta["neighbors"][l].shape == (C, nl, small_spec.neighborhood_limits[l])
+        # index bounds: valid entries < nl, sentinel == nl
+        nb = np.asarray(meta["neighbors"][l])
+        assert nb.max() <= nl and nb.min() >= 0
+        # masked-out queries must have all-sentinel rows
+        m = np.asarray(meta["masks"][l])
+        assert np.all(nb[~m] == nl)
+        # each valid point is its own neighbor (distance 0 first column)
+        assert np.all(nb[m][:, 0] == np.nonzero(m)[1])
+
+    for l in range(2):
+        pool = np.asarray(meta["pools"][l])
+        assert pool.shape == (C, small_spec.capacities[l + 1],
+                              small_spec.neighborhood_limits[l])
+        assert pool.max() <= small_spec.capacities[l]
+
+    # point counts strictly decrease
+    counts = [int(np.asarray(m).sum()) for m in meta["masks"]]
+    assert counts[0] > counts[1] > counts[2]
+
+
+def test_pyramid_monotone_under_jit_vs_eager(rng, small_spec):
+    pts = rng.normal(size=(2, 256, 3)).astype(np.float32)
+    mask = np.ones((2, 256), bool)
+    eager = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), small_spec)
+    jitted = jax.jit(build_pyramid, static_argnums=2)(
+        jnp.asarray(pts), jnp.asarray(mask), small_spec)
+    for a, b in zip(jax.tree.leaves(eager), jax.tree.leaves(jitted)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
