@@ -1,0 +1,240 @@
+"""KPConv operator and backbone blocks (fixed-shape, masked, batched).
+
+TPU-native re-design of the reference blocks
+(models/backbone_kpconv/finegrained_kpconv_blocks.py). All features are
+(C, N, D) with validity masks; neighbor tables are (C, Nq, K) with
+sentinel = Ns. There is no packed ragged stack, no python loop over
+clouds, and no shadow-row concat: gathers clip + mask instead.
+
+KPConv math (reference KPConv.forward, blocks.py:265-401, rigid path):
+  d2[n,k,p]   = || (s_pts[nb[n,k]] - q_pts[n]) - kp[p] ||^2
+  w[n,p,k]    = influence(d2)          (linear: clamp(1 - d/extent, 0))
+  f[n,p,c]    = sum_k w[n,p,k] * x[nb[n,k], c]
+  out[n,e]    = sum_p f[n,p,c] @ W[p,c,e]
+  out        /= max(1, #neighbors with positive feature-sum)   (density)
+
+The two contractions are einsums the MXU eats directly; the density
+normalization replicates the reference's quirk of counting neighbors by
+`sum_c x > 0` (blocks.py:396-399).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernel_points import load_kernel_points
+from .norm import MaskedInstanceNorm
+from .res2net import Res2NetFusion, torch_linear_init
+
+
+def batched_gather(values: jax.Array, idx: jax.Array, fill) -> jax.Array:
+    """values (C, Ns, D), idx (C, Nq, K) with sentinel Ns -> (C, Nq, K, D)."""
+    c, ns, d = values.shape
+    nq, k = idx.shape[1], idx.shape[2]
+    safe = jnp.clip(idx, 0, ns - 1).reshape(c, nq * k, 1)
+    out = jnp.take_along_axis(values, safe, axis=1).reshape(c, nq, k, d)
+    valid = (idx < ns)[..., None]
+    return jnp.where(valid, out, jnp.asarray(fill, dtype=values.dtype))
+
+
+def max_pool(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Max over gathered neighbors, shadow = 0 (reference blocks.py:125-141)."""
+    gathered = batched_gather(x, idx, 0.0)
+    return jnp.max(gathered, axis=2)
+
+
+def closest_pool(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Pool from the nearest neighbor — column 0 of our distance-sorted
+    tables (reference blocks.py:110-122 assumes the same ordering)."""
+    return batched_gather(x, idx[:, :, :1], 0.0)[:, :, 0]
+
+
+def global_average(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """(C, N, D) masked mean over points (reference blocks.py:144-163)."""
+    m = mask[..., None].astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1.0, None)
+
+
+class KPConvOp(nn.Module):
+    """Rigid kernel-point convolution.
+
+    Deformable/modulated variants are intentionally not implemented:
+    no reference config enables them (conf/*.yaml: modulated: False,
+    no 'deformable' blocks in any architecture)."""
+
+    num_kernel_points: int
+    in_dim: int
+    out_dim: int
+    extent: float          # current_extent = radius * KP_extent / conv_radius
+    radius: float          # kernel disposition scale
+    fixed_kernel_points: str = "center"
+    influence: str = "linear"
+    aggregation: str = "sum"
+    kp_seed: int = 0
+
+    def setup(self):
+        kp = load_kernel_points(self.radius, self.num_kernel_points,
+                                fixed=self.fixed_kernel_points, seed=self.kp_seed)
+        self.kernel_pts = jnp.asarray(kp)  # (P, 3) fixed, not trained
+        # torch kaiming_uniform(a=sqrt(5)) ~ U(-1/sqrt(fan), 1/sqrt(fan));
+        # we take fan_in = P * in_dim (the true receptive fan-in).
+        fan = self.num_kernel_points * self.in_dim
+        bound = 1.0 / np.sqrt(fan)
+        self.weights = self.param(
+            "weights",
+            lambda key: jax.random.uniform(
+                key, (self.num_kernel_points, self.in_dim, self.out_dim),
+                minval=-bound, maxval=bound),
+        )
+
+    def __call__(self, q_pts, s_pts, neighb_idx, x):
+        """q_pts (C,Nq,3), s_pts (C,Ns,3), neighb_idx (C,Nq,K),
+        x (C,Ns,Cin) -> (C,Nq,Cout)."""
+        # Neighbor coordinates relative to the query; missing neighbors
+        # land at 1e6 so their influence is exactly 0.
+        nb_pts = batched_gather(s_pts, neighb_idx, 1e6)      # (C,Nq,K,3)
+        rel = nb_pts - q_pts[:, :, None, :]
+
+        diff = rel[:, :, :, None, :] - self.kernel_pts[None, None, None]  # (C,Nq,K,P,3)
+        d2 = jnp.sum(diff * diff, axis=-1)                    # (C,Nq,K,P)
+
+        if self.influence == "linear":
+            w = jnp.clip(1.0 - jnp.sqrt(d2) / self.extent, 0.0, None)
+        elif self.influence == "constant":
+            w = jnp.ones_like(d2)
+        elif self.influence == "gaussian":
+            sigma = self.extent * 0.3
+            w = jnp.exp(-d2 / (2 * sigma * sigma + 1e-9))
+        else:
+            raise ValueError(self.influence)
+
+        if self.aggregation == "closest":
+            closest = jnp.argmin(d2, axis=-1)                 # (C,Nq,K)
+            w = w * jax.nn.one_hot(closest, self.num_kernel_points, dtype=w.dtype)
+        elif self.aggregation != "sum":
+            raise ValueError(self.aggregation)
+
+        w = jnp.swapaxes(w, 2, 3)                             # (C,Nq,P,K)
+
+        nb_x = batched_gather(x, neighb_idx, 0.0)             # (C,Nq,K,Cin)
+        weighted = jnp.einsum("cnpk,cnkd->cnpd", w, nb_x)     # (C,Nq,P,Cin)
+        out = jnp.einsum("cnpd,pde->cne", weighted, self.weights)
+
+        # density normalization (reference blocks.py:396-399)
+        nb_count = jnp.sum(jnp.sum(nb_x, axis=-1) > 0.0, axis=-1)   # (C,Nq)
+        nb_count = jnp.clip(nb_count, 1, None).astype(out.dtype)
+        return out / nb_count[..., None]
+
+
+class UnaryBlock(nn.Module):
+    """Dense (no bias) + per-cloud InstanceNorm + LeakyReLU(0.1)
+    (reference blocks.py:521-555)."""
+
+    out_dim: int
+    use_norm: bool = True
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Dense(self.out_dim, use_bias=False,
+                     kernel_init=torch_linear_init, name="mlp")(x)
+        if self.use_norm:
+            x = MaskedInstanceNorm(name="norm")(x, mask)
+        else:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+            x = x + bias
+        if not self.no_relu:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class SimpleBlock(nn.Module):
+    """KPConv -> InstanceNorm -> LeakyReLU with out_dim//2 channels
+    (reference blocks.py:578-634)."""
+
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: dict
+
+    @nn.compact
+    def __call__(self, x, meta):
+        cfg = self.cfg
+        extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
+        q, s, idx, mask = _select_level_io(self.block_name, self.layer_ind, meta)
+        x = KPConvOp(
+            num_kernel_points=cfg["num_kernel_points"], in_dim=self.in_dim,
+            out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
+            fixed_kernel_points=cfg["fixed_kernel_points"],
+            influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            name="kpconv")(q, s, idx, x)
+        x = MaskedInstanceNorm(name="norm")(x, mask)
+        return nn.leaky_relu(x, 0.1)
+
+
+class ResnetBottleneckBlock(nn.Module):
+    """Bottleneck with the Res2Net fine-grained fusion as the
+    up-projection (reference blocks.py:637-727):
+
+        unary1(in -> out/4) -> KPConv(out/4 -> out/4) -> InstanceNorm
+        -> Res2NetFusion(out/4 -> out) -> LeakyReLU
+        + shortcut (max-pool if strided; unary if in != out)
+        -> LeakyReLU
+    """
+
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: dict
+
+    @nn.compact
+    def __call__(self, x, meta, train: bool = True):
+        cfg = self.cfg
+        extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
+        strided = "strided" in self.block_name
+        mask_pre = meta["masks"][self.layer_ind]
+        q, s, idx, mask_post = _select_level_io(self.block_name, self.layer_ind, meta)
+
+        h = x
+        if self.in_dim != self.out_dim // 4:
+            h = UnaryBlock(self.out_dim // 4, name="unary1")(h, mask_pre)
+
+        h = KPConvOp(
+            num_kernel_points=cfg["num_kernel_points"], in_dim=self.out_dim // 4,
+            out_dim=self.out_dim // 4, extent=extent, radius=self.radius,
+            fixed_kernel_points=cfg["fixed_kernel_points"],
+            influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            name="kpconv")(q, s, idx, h)
+        h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)
+        h = Res2NetFusion(self.out_dim // 4, self.out_dim, base_width=14, scale=8,
+                          name="res2net")(h, mask_post, train=train)
+        h = nn.leaky_relu(h, 0.1)
+
+        shortcut = max_pool(x, idx) if strided else x
+        if self.in_dim != self.out_dim:
+            shortcut = UnaryBlock(self.out_dim, no_relu=True,
+                                  name="unary_shortcut")(shortcut, mask_post)
+        return nn.leaky_relu(h + shortcut, 0.1)
+
+
+def _select_level_io(block_name: str, layer_ind: int, meta):
+    """Pick query/support points + neighbor table for a block, mirroring
+    the strided/non-strided selection at blocks.py:620-631 / 694-705."""
+    if "strided" in block_name:
+        q = meta["points"][layer_ind + 1]
+        idx = meta["pools"][layer_ind]
+        mask = meta["masks"][layer_ind + 1]
+    else:
+        q = meta["points"][layer_ind]
+        idx = meta["neighbors"][layer_ind]
+        mask = meta["masks"][layer_ind]
+    s = meta["points"][layer_ind]
+    return q, s, idx, mask

@@ -1,0 +1,85 @@
+"""Checkpoint management (orbax) with best-score tracking.
+
+Reference semantics (cvhelpers/torch_helpers.py:98-242 CheckPointManager):
+- save `model-{step}` with model/optimizer state + step
+- rotate, keeping `max_to_keep` most recent
+- track the best checkpoint by validation score in a `checkpoints.txt`
+  index; directory-resume loads the best step
+- non-strict load with warnings for missing/unexpected keys.
+
+Here the train state is a single pytree (params / batch_stats /
+opt_state / step) checkpointed with orbax; `checkpoints.txt` keeps the
+same best-index semantics so tooling parity holds.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+_logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, max_to_keep: int = 6):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.save_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=True),
+        )
+        self._index_path = os.path.join(self.save_dir, "checkpoints.txt")
+        self.best_step, self.best_score = self._read_index()
+
+    # -- index ----------------------------------------------------------
+    def _read_index(self) -> Tuple[Optional[int], float]:
+        if not os.path.exists(self._index_path):
+            return None, float("-inf")
+        best_step, best_score = None, float("-inf")
+        with open(self._index_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    step, score = int(parts[0]), float(parts[1])
+                    if score > best_score:
+                        best_step, best_score = step, score
+        return best_step, best_score
+
+    def _append_index(self, step: int, score: float):
+        with open(self._index_path, "a") as f:
+            f.write(f"{step} {score}\n")
+
+    # -- save/load -------------------------------------------------------
+    def save(self, step: int, state: Any, score: float = 0.0) -> bool:
+        """Returns True if this is the new best checkpoint."""
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._append_index(step, score)
+        is_best = score > self.best_score
+        if is_best:
+            self.best_step, self.best_score = step, score
+        return is_best
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def load(self, state_template: Any, step: Optional[int] = None,
+             best: bool = False) -> Tuple[Any, int]:
+        """Restore into the template's structure. step=None picks the
+        best (if tracked) else the latest — mirroring the reference's
+        directory-resume behaviour (torch_helpers.py:206-212)."""
+        if step is None:
+            step = self.best_step if (best and self.best_step is not None) \
+                else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+        _logger.info("restored checkpoint step %d from %s", step, self.save_dir)
+        return restored, int(step)

@@ -1,0 +1,230 @@
+"""Training/eval harness.
+
+Reference: trainer.py (class Trainer) + models/generic_reg_model.py.
+Same outer semantics — niter<0 means epochs, per-step loss EMA display,
+periodic summaries, validation-driven best-checkpoint selection on
+`reg_success_final` (rot < thresh_rot, trans < thresh_trans), step-level
+resilience (non-finite losses are skipped and counted) — but the inner
+step is a single donated jit: forward + loss + grad + optimizer update
++ BN-stat update all compile into one XLA program. With a multi-device
+mesh the batch is sharded on the 'data' axis and XLA inserts the
+gradient all-reduce.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..geometry.se3 import se3_compare
+from ..ops.pyramid import PyramidSpec
+from ..parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from ..utils.misc import StatsMeter, SummaryWriter, metrics_to_string, pretty_time_delta
+from .checkpoint import CheckpointManager
+from .scheduler import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, cfg, spec: PyramidSpec, example_batch,
+                       seed: int = 0):
+    variables = model.init({"params": jax.random.PRNGKey(seed)},
+                           example_batch, spec, train=False,
+                           method=model.forward_with_loss)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(model, tx, spec: PyramidSpec):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            (_, losses), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, spec, train=True,
+                method=model.forward_with_loss, mutable=["batch_stats"])
+            return losses["total"], (losses, mut)
+
+        grads, (losses, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=mut.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            step=state.step + 1)
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, spec: PyramidSpec):
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        pred, losses = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, spec, train=False, method=model.forward_with_loss)
+        metrics = compute_pose_metrics(pred, batch)
+        return pred, losses, metrics
+
+    return eval_step
+
+
+def compute_pose_metrics(pred, batch):
+    """Per-layer rot/trans errors vs GT (reference
+    generic_reg_model.py:203-215 _compute_metrics over pose outputs)."""
+    err = se3_compare(pred["pose"], batch["pose"][None])
+    return {"rot_deg": err["rot_deg"], "trans": err["trans"]}  # (L, B)
+
+
+class Trainer:
+    def __init__(self, cfg, log_dir: str, niter: Optional[int] = None,
+                 grad_clip: float = 0.0, summary_every: int = 500,
+                 validate_every: int = -1, nb_sanity_val_steps: int = 2,
+                 logger: Optional[logging.Logger] = None):
+        self.cfg = cfg
+        self.log_dir = log_dir
+        self.niter = niter if niter is not None else cfg.get("niter", -100)
+        self.summary_every = summary_every
+        self.validate_every = validate_every
+        self.nb_sanity_val_steps = nb_sanity_val_steps
+        self.logger = logger or logging.getLogger("fgfusion.trainer")
+        self.train_writer = SummaryWriter(f"{log_dir}/train")
+        self.val_writer = SummaryWriter(f"{log_dir}/val")
+        self.saver = CheckpointManager(f"{log_dir}/ckpt", max_to_keep=6)
+        self.rot_th = cfg.get("reg_success_thresh_rot", 10)
+        self.trans_th = cfg.get("reg_success_thresh_trans", 0.1)
+        self.mesh = make_mesh()
+        del grad_clip  # handled inside the optimizer (scheduler.make_optimizer)
+
+    # ------------------------------------------------------------------
+    def _put(self, batch: Dict[str, np.ndarray]):
+        sh = batch_sharding(self.mesh)
+        rep = replicate_sharding(self.mesh)
+        out = {}
+        for k, v in batch.items():
+            if not isinstance(v, np.ndarray):
+                continue
+            n_dev = len(self.mesh.devices.flat)
+            out[k] = jax.device_put(
+                v, sh if v.shape and v.shape[0] % n_dev == 0 else rep)
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(self, model, spec: PyramidSpec, train_loader, val_loader,
+            resume: Optional[str] = None):
+        cfg = self.cfg
+        first = next(iter(train_loader))
+        state, tx = create_train_state(model, cfg, spec, self._put(first))
+        if resume:
+            saver = CheckpointManager(resume) if resume != self.saver.save_dir \
+                else self.saver
+            state, step0 = saver.load(state)
+            self.logger.info("resumed from step %d", step0)
+
+        train_step = make_train_step(model, tx, spec)
+        eval_step = make_eval_step(model, spec)
+
+        if self.niter < 0:
+            total_iter = len(train_loader) * (-self.niter)
+        else:
+            total_iter = self.niter
+        if self.validate_every < 0:
+            validate_every = len(train_loader) * (-self.validate_every)
+        else:
+            validate_every = self.validate_every or len(train_loader)
+
+        # sanity validation (reference trainer.py:83-85)
+        if self.nb_sanity_val_steps > 0:
+            self._validate(eval_step, state, val_loader,
+                           limit=self.nb_sanity_val_steps, step=0)
+
+        self.logger.info("training for %d steps (%s epochs of %d steps)",
+                         total_iter,
+                         -self.niter if self.niter < 0 else "?",
+                         len(train_loader))
+
+        step = int(state.step)
+        loss_ema, ema_beta = None, 0.98
+        skipped = 0
+        t_start = time.time()
+        epoch = 0
+        while step < total_iter:
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                if step >= total_iter:
+                    break
+                state, losses = train_step(state, self._put(batch))
+                step += 1
+
+                total = float(losses["total"])
+                if not np.isfinite(total):
+                    skipped += 1  # reference skips/reports non-finite losses
+                    self.logger.warning("step %d: non-finite loss, continuing", step)
+                else:
+                    loss_ema = total if loss_ema is None else \
+                        ema_beta * loss_ema + (1 - ema_beta) * total
+                if step % 50 == 0:
+                    rate = step / max(time.time() - t_start, 1e-9)
+                    self.logger.info(
+                        "step %d/%d | loss %.4f (ema %.4f) | %.2f it/s | eta %s",
+                        step, total_iter, total, loss_ema or 0.0, rate,
+                        pretty_time_delta((total_iter - step) / max(rate, 1e-9)))
+                if step % self.summary_every == 0:
+                    self.train_writer.add_scalars(
+                        {k: float(v) for k, v in losses.items()}, step,
+                        prefix="losses/")
+                    self.train_writer.flush()
+                if step % validate_every == 0:
+                    score = self._validate(eval_step, state, val_loader, step=step)
+                    self.saver.save(step, jax.device_get(state), score=score)
+            epoch += 1
+
+        score = self._validate(eval_step, state, val_loader, step=step)
+        self.saver.save(step, jax.device_get(state), score=score)
+        self.saver.wait()
+        self.logger.info("done: %d steps, %d skipped, best score %.4f @ %s",
+                         step, skipped, self.saver.best_score,
+                         self.saver.best_step)
+        return state
+
+    # ------------------------------------------------------------------
+    def _validate(self, eval_step, state, val_loader, step: int = 0,
+                  limit: Optional[int] = None) -> float:
+        stats = StatsMeter()
+        for i, batch in enumerate(val_loader):
+            if limit is not None and i >= limit:
+                break
+            _, losses, metrics = eval_step(state, self._put(batch))
+            stats.update_dict({k: float(v) for k, v in losses.items()})
+            rot = np.asarray(metrics["rot_deg"])    # (L, B)
+            trans = np.asarray(metrics["trans"])
+            n_layers = rot.shape[0]
+            for l in range(n_layers):
+                stats.update(f"rot_err_{l}", float(rot[l].mean()), rot.shape[1])
+                stats.update(f"trans_err_{l}", float(trans[l].mean()), rot.shape[1])
+            success = (rot[-1] < self.rot_th) & (trans[-1] < self.trans_th)
+            stats.update("reg_success_final", float(success.mean()), rot.shape[1])
+        avgs = stats.avgs()
+        self.logger.info(metrics_to_string(avgs, f"[val @ {step}] "))
+        self.val_writer.add_scalars(avgs, step, prefix="val/")
+        self.val_writer.flush()
+        return avgs.get("reg_success_final", 0.0)
