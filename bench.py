@@ -1,0 +1,86 @@
+"""Throughput benchmark: registration pairs/sec for the full
+pair-to-pose forward (on-device preprocessing + encoder + transformer +
+pose SVD) on a 3DMatch-scale synthetic workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference GPU forward ~10 pairs/s
+(REGTR-lineage on RTX3090-class hardware; the reference repo publishes
+no numbers — see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 10.0  # directional GPU baseline (BASELINE.md)
+
+
+def main():
+    import jax
+    from fgfusion_tpu.models import get_model
+    from fgfusion_tpu.ops import PyramidSpec
+    from __graft_entry__ import _make_batch
+
+    # 3DMatch-scale config (conf/3dmatch.yaml schema), bucketed at 12k pts
+    cfg = dict(
+        num_layers=4, neighborhood_limits=[40, 40, 40, 40],
+        aggregation_mode="sum", first_subsampling_dl=0.025,
+        first_feats_dim=128, fixed_kernel_points="center", in_feats_dim=1,
+        in_points_dim=3, conv_radius=2.5, KP_extent=2.0, KP_influence="linear",
+        use_batch_norm=True, batch_norm_momentum=0.02, modulated=False,
+        num_kernel_points=15,
+        architecture=["simple", "resnetb", "resnetb_strided", "resnetb",
+                      "resnetb", "resnetb_strided", "resnetb", "resnetb",
+                      "resnetb_strided", "resnetb", "resnetb"],
+        nhead=8, d_embed=512, d_feedforward=1024, dropout=0.0, pre_norm=True,
+        transformer_act="relu", num_encoder_layers=6,
+        transformer_encoder_has_pos_emb=True, sa_val_has_pos_emb=True,
+        ca_val_has_pos_emb=True, pos_emb_type="sine",
+        corr_decoder_has_pos_emb=True, direct_regress_coor=True,
+        wt_overlap=1.0, overlap_loss_on=[5], wt_feature=0.1,
+        wt_feature_un=0.0, r_p=0.2, r_n=0.4, feature_loss_on=[5],
+        feature_loss_type="infonce", wt_corr=1.0, corr_loss_on=[5],
+    )
+    n0 = 12288
+    spec = PyramidSpec(
+        architecture=tuple(cfg["architecture"]),
+        first_subsampling_dl=cfg["first_subsampling_dl"],
+        conv_radius=cfg["conv_radius"],
+        neighborhood_limits=tuple(cfg["neighborhood_limits"]),
+        capacities=(n0, 4096, 1536, 576),
+    )
+    b = 1  # test-time batch size (reference test_batch_size: 1)
+
+    model = get_model("finegrained_regtr.RegTR")(cfg=cfg)
+    batch = _make_batch(b=b, n0=n0)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, spec,
+                           train=False)
+
+    @jax.jit
+    def fwd(variables, batch):
+        return model.apply(variables, batch, spec, train=False)
+
+    # compile + warmup
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = b * iters / dt
+    print(json.dumps({
+        "metric": "pairs_per_sec_forward_3dmatch12k",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -207,6 +207,102 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def test(self, model, spec: PyramidSpec, dataset, resume: str,
+             benchmark_name: Optional[str] = None,
+             gt_root: str = "datasets/3dmatch/benchmarks") -> Dict:
+        """Test-set evaluation with dataset-specific protocol handling
+        (reference Trainer.test trainer.py:185-217 +
+        GenericRegModel.test_step/test_epoch_end
+        generic_reg_model.py:128-201):
+
+        - 3dmatch: write per-scene est.log files and run the official
+          RR protocol against the shipped gt logs;
+        - modelnet: accumulate RPMNet metrics + dump
+          pred_transforms.npy;
+        - mcd: write pose.log for evo conversion.
+        """
+        import os
+        from ..data.buckets import collate_pairs
+
+        cfg = self.cfg
+        n0 = spec.capacities[0]
+
+        first = collate_pairs([dataset.__getitem__(0)], n0)
+        state, tx = create_train_state(model, cfg, spec, self._put(first))
+        saver = CheckpointManager(resume)
+        state, step0 = saver.load(state, best=True)
+        self.logger.info("testing with checkpoint step %d", step0)
+        eval_step = make_eval_step(model, spec)
+
+        stats = StatsMeter()
+        modelnet_metrics = []
+        modelnet_poses = []
+        t0 = time.time()
+        for idx in range(len(dataset)):
+            sample = dataset.__getitem__(idx)
+            batch = collate_pairs([sample], n0)
+            pred, losses, metrics = eval_step(state, self._put(batch))
+            stats.update_dict({k: float(v) for k, v in losses.items()})
+            rot = np.asarray(metrics["rot_deg"])
+            trans = np.asarray(metrics["trans"])
+            stats.update("rot_err_deg_final", float(rot[-1].mean()))
+            stats.update("trans_err_final", float(trans[-1].mean()))
+            success = (rot[-1] < self.rot_th) & (trans[-1] < self.trans_th)
+            stats.update("reg_success_final", float(success.mean()))
+
+            pose_final = np.asarray(pred["pose"])[-1, 0]          # (3, 4)
+            pose44 = np.concatenate([pose_final, [[0, 0, 0, 1]]], axis=0)
+
+            if cfg["dataset"] == "3dmatch":
+                from ..benchmark.benchmark_3dmatch_rr import write_est_log
+                scene = sample["src_path"].split(os.path.sep)[1]
+                src_idx = int(os.path.basename(sample["src_path"])
+                              .split("_")[-1].replace(".pth", ""))
+                tgt_idx = int(os.path.basename(sample["tgt_path"])
+                              .split("_")[-1].replace(".pth", ""))
+                log_path = os.path.join(self.log_dir, benchmark_name, scene,
+                                        "est.log")
+                write_est_log(log_path, [(tgt_idx, src_idx, -1)], pose44[None])
+            elif cfg["dataset"] == "modelnet":
+                from ..benchmark import benchmark_modelnet as bm
+                m = bm.compute_metrics(
+                    batch["pose"], pose_final[None],
+                    batch["src_xyz"], batch["tgt_xyz"],
+                    np.asarray(sample["tgt_raw"])[None],
+                    batch["src_mask"], batch["tgt_mask"])
+                modelnet_metrics.append(m)
+                modelnet_poses.append(pose_final)
+
+            if (idx + 1) % 100 == 0:
+                rate = (idx + 1) / (time.time() - t0)
+                self.logger.info("test %d/%d (%.2f pairs/s)",
+                                 idx + 1, len(dataset), rate)
+
+        avgs = stats.avgs()
+        self.logger.info(metrics_to_string(avgs, "[test] "))
+        results: Dict = {"metrics": avgs,
+                         "pairs_per_sec": len(dataset) / (time.time() - t0)}
+
+        if cfg["dataset"] == "3dmatch":
+            from ..benchmark.benchmark_3dmatch_rr import benchmark
+            report, mean_recall = benchmark(
+                os.path.join(self.log_dir, benchmark_name),
+                os.path.join(gt_root, benchmark_name))
+            self.logger.info("\n%s", report)
+            results["registration_recall"] = mean_recall
+            results["report"] = report
+        elif cfg["dataset"] == "modelnet":
+            from ..benchmark import benchmark_modelnet as bm
+            cat = {k: np.concatenate([m[k] for m in modelnet_metrics])
+                   for k in modelnet_metrics[0]}
+            summary = bm.summarize_metrics(cat)
+            bm.print_metrics(self.logger, summary)
+            np.save(os.path.join(self.log_dir, "pred_transforms.npy"),
+                    np.stack(modelnet_poses))
+            results["summary"] = summary
+        return results
+
+    # ------------------------------------------------------------------
     def _validate(self, eval_step, state, val_loader, step: int = 0,
                   limit: Optional[int] = None) -> float:
         stats = StatsMeter()

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Evaluation launcher.
+
+CLI-parity with the reference test.py (reference test.py:16-81):
+  python test.py --resume CKPT_DIR --benchmark {3DMatch,3DLoMatch,
+      ModelNet,ModelLoNet} [--weight_th W] [--config conf/*.yaml]
+ModelLoNet evaluates the ModelNet model with partial=[0.5, 0.5]
+(reference test.py:70). --weight_th overrides the pose solver's
+confidence gate (reference test.py:34,72-74).
+"""
+import argparse
+import glob
+import os
+import sys
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU-native RegTR evaluation")
+    p.add_argument("--config", type=str)
+    p.add_argument("--resume", type=str, required=True,
+                   help="checkpoint dir (ckpt/ inside a training log dir)")
+    p.add_argument("--benchmark", type=str, default="3DMatch",
+                   choices=["3DMatch", "3DLoMatch", "ModelNet", "ModelLoNet"])
+    p.add_argument("--weight_th", type=float, default=None)
+    p.add_argument("--logdir", type=str, default="logs")
+    p.add_argument("--dev", action="store_true")
+    p.add_argument("--num_workers", type=int, default=2)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from fgfusion_tpu.utils.config import load_config, save_config
+    from fgfusion_tpu.utils.misc import prepare_logger
+
+    config_path = args.config
+    if config_path is None:
+        cands = glob.glob(os.path.join(args.resume, "config.yaml")) + \
+                glob.glob(os.path.join(args.resume, "..", "config.yaml"))
+        if not cands:
+            sys.exit("--config not given and none found near --resume")
+        config_path = cands[0]
+    cfg = load_config(config_path)
+
+    # benchmark/dataset consistency (reference test.py:63-70)
+    if args.benchmark in ("3DMatch", "3DLoMatch"):
+        assert cfg["dataset"] == "3dmatch", \
+            "3DMatch benchmarks require a 3dmatch-trained model"
+        cfg["benchmark"] = args.benchmark
+    else:
+        assert cfg["dataset"] == "modelnet", \
+            "ModelNet benchmarks require a modelnet-trained model"
+        cfg["benchmark"] = args.benchmark
+        if args.benchmark == "ModelLoNet":
+            cfg["partial"] = [0.5, 0.5]
+
+    if args.weight_th is not None:
+        cfg["test_weight_th"] = args.weight_th
+
+    logger, log_dir = prepare_logger(
+        os.path.join(args.logdir, cfg.get("expt_name", "run") + "_eval"),
+        dev=args.dev)
+    save_config(config_path, os.path.join(log_dir, "config.yaml"))
+
+    from fgfusion_tpu.data.loader import make_dataset
+    from fgfusion_tpu.models import get_model
+    from fgfusion_tpu.ops import PyramidSpec
+    from fgfusion_tpu.train.trainer import Trainer
+
+    dataset = make_dataset(cfg, "test")
+    caps = cfg.get("pyramid_capacities")
+    if caps is None:
+        from fgfusion_tpu.data.buckets import capacity_schedule
+        caps = capacity_schedule(int(cfg.get("point_capacity", 16384)),
+                                 cfg["num_layers"])
+    spec = PyramidSpec.from_config(cfg, caps)
+
+    model = get_model(cfg["model"])(cfg=dict(cfg))
+    trainer = Trainer(cfg, log_dir, logger=logger)
+    results = trainer.test(model, spec, dataset, resume=args.resume,
+                           benchmark_name=args.benchmark)
+    if "registration_recall" in results:
+        logger.info("FINAL registration recall: %.4f",
+                    results["registration_recall"])
+
+
+if __name__ == "__main__":
+    main()
