@@ -1,0 +1,74 @@
+"""RANSAC: recovers the pose under heavy outlier contamination; the
+Gumbel sampler produces valid straight-through selections."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fgfusion_tpu.geometry import se3_np
+from fgfusion_tpu.models.ransac import (gumbel_softmax_topk, ransac_rigid,
+                                        ransac_rigid_batch)
+
+
+def make_contaminated_pair(rng, n=200, outlier_frac=0.6):
+    src = rng.normal(size=(n, 3)).astype(np.float32)
+    pose = se3_np.sample_pose_small(rng, std=0.4)
+    tgt = se3_np.se3_transform(pose, src).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    tgt[:n_out] = rng.normal(size=(n_out, 3)).astype(np.float32) * 3 + 5
+    return src, tgt, pose, n_out
+
+
+def test_ransac_recovers_pose_with_outliers(rng):
+    src, tgt, pose, n_out = make_contaminated_pair(rng)
+    est, inliers, score = jax.jit(
+        lambda s, t, k: ransac_rigid(s, t, k, num_hypotheses=256,
+                                     inlier_threshold=0.05))(
+        jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(0))
+    err = se3_np.se3_compare(np.asarray(est), pose)
+    assert err["rot_deg"] < 1.0, err
+    assert err["trans"] < 0.02
+    inl = np.asarray(inliers)
+    assert inl[n_out:].mean() > 0.95    # true inliers found
+    assert inl[:n_out].mean() < 0.05    # outliers rejected
+
+
+def test_ransac_batch_and_mask(rng):
+    pairs = [make_contaminated_pair(rng, outlier_frac=0.4) for _ in range(3)]
+    src = jnp.asarray(np.stack([p[0] for p in pairs]))
+    tgt = jnp.asarray(np.stack([p[1] for p in pairs]))
+    mask = np.ones((3, 200), bool)
+    mask[:, 190:] = False
+    est, inliers, _ = ransac_rigid_batch(
+        src, tgt, jax.random.PRNGKey(1), mask=jnp.asarray(mask),
+        num_hypotheses=128, inlier_threshold=0.05)
+    for b in range(3):
+        err = se3_np.se3_compare(np.asarray(est[b]), pairs[b][2])
+        assert err["rot_deg"] < 1.5
+    assert not np.any(np.asarray(inliers)[:, 190:])
+
+
+def test_ransac_weighted_sampling_helps(rng):
+    src, tgt, pose, n_out = make_contaminated_pair(rng, outlier_frac=0.85)
+    conf = np.full(200, 0.01, np.float32)
+    conf[n_out:] = 0.99  # oracle confidence
+    est, _, _ = ransac_rigid(jnp.asarray(src), jnp.asarray(tgt),
+                             jax.random.PRNGKey(2),
+                             weights=jnp.asarray(conf),
+                             num_hypotheses=64, inlier_threshold=0.05)
+    err = se3_np.se3_compare(np.asarray(est), pose)
+    assert err["rot_deg"] < 1.0
+
+
+def test_gumbel_topk_straight_through():
+    logits = jnp.asarray(np.linspace(-1, 1, 16), jnp.float32)
+    sel = gumbel_softmax_topk(logits, 4, jax.random.PRNGKey(0), tau=0.5)
+    assert sel.shape == (16,)
+    # forward value is (numerically) a hard selection of exactly 4
+    hard = np.round(np.asarray(sel))
+    assert hard.sum() == 4
+
+    # gradients flow to the logits
+    def f(lg):
+        return jnp.sum(gumbel_softmax_topk(lg, 4, jax.random.PRNGKey(0)) * lg)
+    g = jax.grad(f)(logits)
+    assert np.any(np.asarray(g) != 0)
