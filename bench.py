@@ -18,7 +18,16 @@ REFERENCE_PAIRS_PER_SEC = 10.0  # directional GPU baseline (BASELINE.md)
 
 
 def main():
+    import os
     import jax
+    # persistent compilation cache: the first TPU compile of the 12k-pt
+    # program is slow (remote compile); subsequent bench runs reuse it
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from fgfusion_tpu.models import get_model
     from fgfusion_tpu.ops import PyramidSpec
     from __graft_entry__ import _make_batch

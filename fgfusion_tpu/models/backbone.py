@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .kpconv import ResnetBottleneckBlock, SimpleBlock, UnaryBlock
 
@@ -80,3 +81,56 @@ class KPFEncoder(nn.Module):
     def out_dim(cfg) -> int:
         plan, skip_dims = encoder_plan(dict(cfg))
         return skip_dims[-1]
+
+
+class KPFDecoder(nn.Module):
+    """Upsampling decoder: nearest-upsample + skip-concat + unary
+    blocks. Unused by RegTR (it runs attention on the coarsest level)
+    but part of the backbone surface (reference
+    finegrained_kpconv.py:97-170); useful for dense per-point heads.
+    """
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, skips, meta, train: bool = True):
+        from .kpconv import closest_pool
+        cfg = dict(self.cfg)
+        arch = list(cfg["architecture"])
+
+        # locate the first upsample block and the octave there
+        octave = 0
+        start_i = 0
+        for i, block in enumerate(arch):
+            if "upsample" in block:
+                start_i = i
+                break
+            if "pool" in block or "strided" in block:
+                octave += 1
+
+        skips = list(skips)
+        in_dim = x.shape[-1]
+        out_dim = in_dim
+        x_all = []
+        for j, block in enumerate(arch[start_i:]):
+            concat_skip = j > 0 and "upsample" in arch[start_i + j - 1]
+            if concat_skip:
+                octave -= 1
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+            mask = meta["masks"][octave]
+            if block == "unary":
+                x = UnaryBlock(out_dim, name=f"dec_{j}")(x, mask)
+                if concat_skip:
+                    x_all.append(x)
+            elif block == "unary2":
+                h = nn.Dense(x.shape[-1], name=f"dec_{j}_fc1")(x)
+                h = nn.relu(h)
+                x = x + nn.Dense(out_dim, name=f"dec_{j}_fc2")(h) \
+                    if x.shape[-1] == out_dim else nn.Dense(out_dim,
+                                                            name=f"dec_{j}_fc2")(h)
+            elif block == "nearest_upsample":
+                x = closest_pool(x, meta["upsamples"][octave - 1])
+                out_dim = out_dim // 2
+            else:
+                raise ValueError(f"unsupported decoder block {block!r}")
+        return x, x_all

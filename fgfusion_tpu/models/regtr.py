@@ -302,6 +302,37 @@ class RegTR(nn.Module):
         losses = self.compute_loss(pred, batch, spec, train=train)
         return pred, losses
 
+    # ------------------------------------------------------------------
+    # Cumulative stage prefixes for the stage-latency breakdown
+    # (parity with the reference's _TIMEIT instrumentation,
+    # finegrained_regtr.py:112-231: preprocess / encoder / attention /
+    # pose). Each is independently jittable; tools/profile_stages.py
+    # times them and reports the per-stage deltas.
+    # ------------------------------------------------------------------
+    def run_preprocess(self, batch, spec: PyramidSpec):
+        points = jnp.concatenate([batch["src_xyz"], batch["tgt_xyz"]], axis=0)
+        masks = jnp.concatenate([batch["src_mask"], batch["tgt_mask"]], axis=0)
+        return build_pyramid(points, masks, spec)
+
+    def run_encoder(self, batch, spec: PyramidSpec):
+        cfg = dict(self.cfg)
+        meta = self.run_preprocess(batch, spec)
+        feats0 = jnp.ones(meta["points"][0].shape[:2] + (cfg["in_feats_dim"],),
+                          dtype=meta["points"][0].dtype)
+        feats_un, _ = self.kpf_encoder(feats0, meta, train=False)
+        return self.feat_proj(feats_un), meta
+
+    def run_attention(self, batch, spec: PyramidSpec):
+        cfg = dict(self.cfg)
+        b = batch["src_xyz"].shape[0]
+        both, meta = self.run_encoder(batch, spec)
+        xyz_c, mask_c = meta["points"][-1], meta["masks"][-1]
+        pe = self.pos_embed(jnp.where(mask_c[..., None], xyz_c, 0.0))
+        use_pe = cfg.get("transformer_encoder_has_pos_emb", True)
+        return self.transformer_encoder(
+            both[:b], both[b:], mask_c[:b], mask_c[b:],
+            pe[:b] if use_pe else None, pe[b:] if use_pe else None)
+
 
 def _bce_with_logits(logits, targets):
     """Elementwise binary cross entropy on logits (torch
