@@ -75,6 +75,9 @@ class KPConvOp(nn.Module):
     influence: str = "linear"
     aggregation: str = "sum"
     kp_seed: int = 0
+    compute_dtype: str = "float32"   # 'bfloat16' halves HBM traffic on
+                                     # the two big contractions; the
+                                     # influence geometry stays f32
 
     def setup(self):
         kp = load_kernel_points(self.radius, self.num_kernel_points,
@@ -121,8 +124,13 @@ class KPConvOp(nn.Module):
         w = jnp.swapaxes(w, 2, 3)                             # (C,Nq,P,K)
 
         nb_x = batched_gather(x, neighb_idx, 0.0)             # (C,Nq,K,Cin)
-        weighted = jnp.einsum("cnpk,cnkd->cnpd", w, nb_x)     # (C,Nq,P,Cin)
-        out = jnp.einsum("cnpd,pde->cne", weighted, self.weights)
+        cdt = jnp.dtype(self.compute_dtype)
+        weighted = jnp.einsum("cnpk,cnkd->cnpd", w.astype(cdt),
+                              nb_x.astype(cdt),
+                              preferred_element_type=jnp.float32)
+        out = jnp.einsum("cnpd,pde->cne", weighted.astype(cdt),
+                         self.weights.astype(cdt),
+                         preferred_element_type=jnp.float32)
 
         # density normalization (reference blocks.py:396-399)
         nb_count = jnp.sum(jnp.sum(nb_x, axis=-1) > 0.0, axis=-1)   # (C,Nq)
@@ -173,6 +181,7 @@ class SimpleBlock(nn.Module):
             out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            compute_dtype=cfg.get("compute_dtype", "float32"),
             name="kpconv")(q, s, idx, x)
         x = MaskedInstanceNorm(name="norm")(x, mask)
         return nn.leaky_relu(x, 0.1)
@@ -212,6 +221,7 @@ class ResnetBottleneckBlock(nn.Module):
             out_dim=self.out_dim // 4, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            compute_dtype=cfg.get("compute_dtype", "float32"),
             name="kpconv")(q, s, idx, h)
         h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)
         h = Res2NetFusion(self.out_dim // 4, self.out_dim, base_width=14, scale=8,

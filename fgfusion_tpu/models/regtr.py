@@ -124,6 +124,7 @@ class RegTR(nn.Module):
             sa_val_has_pos_emb=cfg["sa_val_has_pos_emb"],
             ca_val_has_pos_emb=cfg["ca_val_has_pos_emb"],
             activation=cfg.get("transformer_act", "relu"),
+            dtype=cfg.get("compute_dtype", "float32"),
             name="transformer_encoder")
 
         if cfg.get("direct_regress_coor", False):

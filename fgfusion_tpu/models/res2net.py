@@ -38,6 +38,7 @@ class Res2NetFusion(nn.Module):
     out_dim: int
     base_width: int = 14
     scale: int = 8
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, train: bool = True):

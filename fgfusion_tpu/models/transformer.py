@@ -27,10 +27,13 @@ xavier_uniform = nn.initializers.xavier_uniform()
 
 class MultiheadAttention(nn.Module):
     """torch-style MHA: packed qkv projections + out projection, all
-    with bias; softmax over keys with key-padding mask."""
+    with bias; softmax over keys with key-padding mask. `dtype` is the
+    computation dtype (params stay f32); the attention softmax always
+    accumulates in f32."""
 
     d_model: int
     nhead: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None):
@@ -38,23 +41,31 @@ class MultiheadAttention(nn.Module):
         d_head = self.d_model // self.nhead
         b, nq, _ = query.shape
         nk = key.shape[1]
+        cdt = jnp.dtype(self.dtype)
 
-        q = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="q_proj")(query)
-        k = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="k_proj")(key)
-        v = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="v_proj")(value)
+        q = nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=cdt,
+                     name="q_proj")(query)
+        k = nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=cdt,
+                     name="k_proj")(key)
+        v = nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=cdt,
+                     name="v_proj")(value)
 
         q = q.reshape(b, nq, self.nhead, d_head)
         k = k.reshape(b, nk, self.nhead, d_head)
         v = v.reshape(b, nk, self.nhead, d_head)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d_head).astype(q.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(d_head).astype(logits.dtype)
         if key_mask is not None:
             bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
             logits = logits + bias
         attn = nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, self.d_model)
-        return nn.Dense(self.d_model, kernel_init=torch_linear_init,
-                        name="out_proj")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(cdt), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, nq, self.d_model)
+        return nn.Dense(self.d_model, kernel_init=torch_linear_init, dtype=cdt,
+                        name="out_proj")(out).astype(jnp.float32)
 
 
 class TransformerCrossEncoderLayer(nn.Module):
@@ -65,21 +76,25 @@ class TransformerCrossEncoderLayer(nn.Module):
     sa_val_has_pos_emb: bool = False
     ca_val_has_pos_emb: bool = False
     activation: str = "relu"
+    dtype: str = "float32"
 
     def _act(self, x):
         return nn.relu(x) if self.activation == "relu" else nn.gelu(x)
 
     @nn.compact
     def __call__(self, src, tgt, src_mask, tgt_mask, src_pos=None, tgt_pos=None):
-        sa = MultiheadAttention(self.d_model, self.nhead, name="self_attn")
-        ca = MultiheadAttention(self.d_model, self.nhead, name="cross_attn")
+        sa = MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
+                                name="self_attn")
+        ca = MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
+                                name="cross_attn")
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
         norm3 = nn.LayerNorm(name="norm3")
+        cdt = jnp.dtype(self.dtype)
         ffn1 = nn.Dense(self.dim_feedforward, kernel_init=torch_linear_init,
-                        name="linear1")
+                        dtype=cdt, name="linear1")
         ffn2 = nn.Dense(self.d_model, kernel_init=torch_linear_init,
-                        name="linear2")
+                        dtype=cdt, name="linear2")
 
         def with_pos(x, pos):
             return x if pos is None else x + pos
@@ -138,6 +153,7 @@ class TransformerCrossEncoder(nn.Module):
     sa_val_has_pos_emb: bool = False
     ca_val_has_pos_emb: bool = False
     activation: str = "relu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, src, tgt, src_mask, tgt_mask, src_pos=None, tgt_pos=None):
@@ -150,6 +166,7 @@ class TransformerCrossEncoder(nn.Module):
                 sa_val_has_pos_emb=self.sa_val_has_pos_emb,
                 ca_val_has_pos_emb=self.ca_val_has_pos_emb,
                 activation=self.activation,
+                dtype=self.dtype,
                 name=f"layer_{i}")(src, tgt, src_mask, tgt_mask, src_pos, tgt_pos)
             if final_norm is not None:
                 src_inter.append(final_norm(src))

@@ -41,16 +41,28 @@ class TrainState:
 
 
 def create_train_state(model, cfg, spec: PyramidSpec, example_batch,
-                       seed: int = 0):
-    variables = model.init({"params": jax.random.PRNGKey(seed)},
-                           example_batch, spec, train=False,
-                           method=model.forward_with_loss)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+                       seed: int = 0, abstract: bool = False):
+    """Build the train state. abstract=True returns a ShapeDtypeStruct
+    pytree (via eval_shape — no compile, no compute): the restore
+    template for checkpoint loading at eval time, which matters on this
+    TPU where every fresh XLA compile is expensive."""
+    def init_fn():
+        return model.init({"params": jax.random.PRNGKey(seed)},
+                          example_batch, spec, train=False,
+                          method=model.forward_with_loss)
+
     tx = make_optimizer(cfg)
-    return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32)), tx
+
+    def to_state(variables):
+        params = variables["params"]
+        return TrainState(params=params,
+                          batch_stats=variables.get("batch_stats", FrozenDict()),
+                          opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    if abstract:
+        return jax.eval_shape(lambda: to_state(init_fn())), tx
+    return to_state(init_fn()), tx
 
 
 def make_train_step(model, tx, spec: PyramidSpec):
@@ -228,7 +240,8 @@ class Trainer:
         n0 = spec.capacities[0]
 
         first = collate_pairs([dataset.__getitem__(0)], n0)
-        state, tx = create_train_state(model, cfg, spec, self._put(first))
+        state, tx = create_train_state(model, cfg, spec, self._put(first),
+                                       abstract=True)
         saver = CheckpointManager(resume)
         state, step0 = saver.load(state, best=True)
         self.logger.info("testing with checkpoint step %d", step0)

@@ -60,7 +60,7 @@ def main():
               "pose": np.eye(4, dtype=np.float32)[:3]}
     batch = collate_pairs([sample], spec.capacities[0])
 
-    state, _tx = create_train_state(model, cfg, spec, batch)
+    state, _tx = create_train_state(model, cfg, spec, batch, abstract=True)
     state, _ = CheckpointManager(args.resume).load(state, best=True)
     pred, _, _ = make_eval_step(model, spec)(state, batch)
 

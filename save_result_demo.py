@@ -68,7 +68,7 @@ def main():
                       "pose": np.eye(4, dtype=np.float32)[:3]}
             batch = collate_pairs([sample], spec.capacities[0])
             if state is None:
-                state, _tx = create_train_state(model, cfg, spec, batch)
+                state, _tx = create_train_state(model, cfg, spec, batch, abstract=True)
                 state, _ = CheckpointManager(args.resume).load(state, best=True)
             pred, _, _ = eval_step(state, batch)
             pose = np.asarray(pred["pose"])[-1, 0]

@@ -116,3 +116,26 @@ def test_sinkhorn_rows_cols_substochastic(rng):
     out = np.exp(np.asarray(sinkhorn(log_alpha, n_iters=20)))
     assert np.all(out.sum(axis=2) <= 1.0 + 1e-4)
     assert np.all(out.sum(axis=1) <= 1.0 + 1e-4)
+
+
+def test_so3_exp_log_roundtrip(rng):
+    from fgfusion_tpu.geometry.so3 import so3_exp, so3_log, se3_exp, se3_log
+    omega = rng.normal(size=(10, 3)).astype(np.float32)
+    omega = omega / np.linalg.norm(omega, axis=-1, keepdims=True)
+    omega = omega * rng.uniform(0.01, 3.0, size=(10, 1)).astype(np.float32)
+    R = so3_exp(jnp.asarray(omega))
+    back = np.asarray(so3_log(R))
+    np.testing.assert_allclose(back, omega, atol=1e-3)
+
+    xi = rng.normal(size=(8, 6)).astype(np.float32) * 0.5
+    pose = se3_exp(jnp.asarray(xi))
+    xi_back = np.asarray(se3_log(pose))
+    np.testing.assert_allclose(xi_back, xi, atol=1e-3)
+
+
+def test_so3_exp_matches_scipy(rng):
+    from fgfusion_tpu.geometry.so3 import so3_exp
+    v = rng.normal(size=(5, 3)).astype(np.float32)
+    R_j = np.asarray(so3_exp(jnp.asarray(v)))
+    R_s = Rotation.from_rotvec(v).as_matrix()
+    np.testing.assert_allclose(R_j, R_s, atol=1e-5)
