@@ -80,6 +80,52 @@ class InfoNCELossFull(nn.Module):
         return jnp.mean(per_cloud)
 
 
+class CircleLossSampled(nn.Module):
+    """Circle loss on `n_sample` randomly drawn GT correspondences per
+    pair (reference feature_loss.py:52-157 CircleLoss — whose sampled
+    path calls an undefined `radius_search` at :133 and is therefore a
+    latent bug upstream; this is the working fixed-shape version).
+
+    Correspondence sampling happens on device from a precomputed
+    correspondence table (B, 2, K) with -1 padding.
+    """
+
+    log_scale: float = 10.0
+    r_p: float = 0.125
+    r_n: float = 0.25
+    pos_margin: float = 0.1
+    neg_margin: float = 1.4
+    n_sample: int = 256
+    dist_type: str = "euclidean"
+
+    @nn.compact
+    def __call__(self, key, src_feat, tgt_feat, src_xyz, tgt_xyz,
+                 correspondences, corr_mask):
+        """correspondences (B, 2, K) int32 (-1 pad), corr_mask (B, K)."""
+        import jax.random as jr
+        b, _, kmax = correspondences.shape
+
+        def pick(key_b, corr, m):
+            logits = jnp.where(m, 0.0, -1e9)
+            # sample with replacement proportional to validity
+            idx = jr.categorical(key_b, logits, shape=(self.n_sample,))
+            return corr[0][idx], corr[1][idx]
+
+        keys = jr.split(key, b)
+        src_idx, tgt_idx = jax.vmap(pick)(keys, correspondences, corr_mask)
+
+        sf = jnp.take_along_axis(src_feat, src_idx[..., None], axis=1)
+        tf = jnp.take_along_axis(tgt_feat, tgt_idx[..., None], axis=1)
+        sx = jnp.take_along_axis(src_xyz, src_idx[..., None], axis=1)
+        tx = jnp.take_along_axis(tgt_xyz, tgt_idx[..., None], axis=1)
+        full = CircleLossFull(log_scale=self.log_scale, r_p=self.r_p,
+                              r_n=self.r_n, pos_margin=self.pos_margin,
+                              neg_margin=self.neg_margin,
+                              dist_type=self.dist_type, name="full")
+        ones = jnp.ones(sf.shape[:2], bool)
+        return full(sf, tf, sx, tx, ones, ones)
+
+
 class CircleLossFull(nn.Module):
     """Full-matrix circle loss (reference feature_loss.py:160-243),
     selectable via feature_loss_type: circle."""
