@@ -43,6 +43,7 @@ class PyramidSpec:
     conv_radius: float
     neighborhood_limits: Tuple[int, ...]
     capacities: Tuple[int, ...]  # per-level point capacity; [0] = input
+    approx_knn: bool = False     # TPU-fast approximate neighbor search
 
     @classmethod
     def from_config(cls, cfg, capacities: Sequence[int]) -> "PyramidSpec":
@@ -52,6 +53,8 @@ class PyramidSpec:
             conv_radius=float(cfg.conv_radius),
             neighborhood_limits=tuple(cfg.neighborhood_limits),
             capacities=tuple(capacities),
+            approx_knn=bool(cfg.get("approx_knn", False))
+            if hasattr(cfg, "get") else False,
         )
 
     @property
@@ -119,7 +122,8 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
     }
 
     knn_b = jax.vmap(
-        lambda q, qm, s, sm, radius, k: radius_knn(q, qm, s, sm, radius=radius, k=k),
+        lambda q, qm, s, sm, radius, k: radius_knn(
+            q, qm, s, sm, radius=radius, k=k, approx=spec.approx_knn),
         in_axes=(0, 0, 0, 0, None, None))
     sub_b = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
 

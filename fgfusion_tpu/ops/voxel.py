@@ -18,6 +18,11 @@ Differences by design:
   finegrained_kpconv.py:222-224).
 - padded/invalid input points never contribute (they sort to the end
   into zero-count voxels that are masked out).
+
+Implementation is scatter-free (TPU scatters serialize): one
+lexicographic sort groups voxels contiguously, then segment means come
+from prefix sums gathered at the segment boundaries
+(jnp.nonzero(..., size=capacity) gives the static-shape boundary list).
 """
 from __future__ import annotations
 
@@ -48,6 +53,7 @@ def grid_subsample(points: jax.Array, mask: jax.Array, cell: float, capacity: in
         n_voxels: () int32 — true number of occupied voxels (may exceed
             capacity; use to detect overflow).
     """
+    n = points.shape[0]
     big = jnp.float32(1e9)
     pts_valid = jnp.where(mask[:, None], points, big)
     mins = jnp.min(pts_valid, axis=0)
@@ -57,39 +63,43 @@ def grid_subsample(points: jax.Array, mask: jax.Array, cell: float, capacity: in
     ijk = jnp.where(mask[:, None], ijk, _INVALID_COORD)
 
     # Lexicographic sort by (z, y, x): numpy lexsort semantics — last
-    # key is primary.
+    # key is primary. Lowered as a single multi-operand lax.sort.
     order = jnp.lexsort((ijk[:, 0], ijk[:, 1], ijk[:, 2]))
     ijk_s = ijk[order]
     pts_s = points[order]
     mask_s = mask[order]
 
-    # Voxel boundaries: first element, or any coordinate change.
+    # Voxel boundaries: first element, or any coordinate change. A valid
+    # voxel's first (sorted) point is valid because invalid points sort
+    # strictly after all valid ones and share no voxel with them.
     diff = jnp.any(ijk_s[1:] != ijk_s[:-1], axis=1)
     boundary = jnp.concatenate([jnp.ones((1,), dtype=bool), diff])
-    voxel_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # (N,)
+    valid_boundary = boundary & mask_s
 
-    n_voxels_total = voxel_id[-1] + 1
-    # Voxels made only of invalid points sit at the tail; they carry
-    # zero valid count and are masked below, so no correction needed.
+    # Static-shape segment starts: indices of the first `capacity`
+    # valid-voxel boundaries (fill = n for absent segments).
+    starts = jnp.nonzero(valid_boundary, size=capacity, fill_value=n)[0]
+    new_mask = starts < n
 
+    # Prefix sums (one zero row prepended) -> segment sums by gather.
     w = mask_s.astype(points.dtype)
-    sums = jax.ops.segment_sum(pts_s * w[:, None], voxel_id, num_segments=capacity)
-    counts = jax.ops.segment_sum(w, voxel_id, num_segments=capacity)
+    csum_pts = jnp.concatenate(
+        [jnp.zeros((1, 3), points.dtype), jnp.cumsum(pts_s * w[:, None], axis=0)])
+    csum_cnt = jnp.concatenate(
+        [jnp.zeros((1,), points.dtype), jnp.cumsum(w)])
 
-    new_mask = counts > 0
-    new_points = sums / jnp.clip(counts[:, None], 1.0, None)
+    # Segment end = next valid-boundary start (or total valid count).
+    # Invalid points contribute zero weight, so using `n` as the end for
+    # the final segment is exact.
+    ends = jnp.concatenate([starts[1:], jnp.array([n])])
+    ends = jnp.minimum(ends, n)
+    safe_starts = jnp.minimum(starts, n)
+
+    seg_sum = csum_pts[ends] - csum_pts[safe_starts]
+    seg_cnt = csum_cnt[ends] - csum_cnt[safe_starts]
+
+    new_points = seg_sum / jnp.clip(seg_cnt[:, None], 1.0, None)
     new_points = jnp.where(new_mask[:, None], new_points, 1e6)
 
-    n_valid_voxels = jnp.sum(
-        jax.ops.segment_max(w, voxel_id, num_segments=capacity) > 0
-    ).astype(jnp.int32)
-    del n_valid_voxels  # counted within capacity only; report total instead
-
-    # True occupied-voxel count (valid points only): number of
-    # boundaries among valid points.
-    n_occupied = jnp.sum(boundary & mask_s).astype(jnp.int32)
-    # boundary marks a new voxel; a valid voxel's first (sorted) point
-    # is valid because invalid points sort strictly after all valid
-    # ones and share no voxel with them.
-    del n_voxels_total
+    n_occupied = jnp.sum(valid_boundary).astype(jnp.int32)
     return new_points, new_mask, n_occupied
