@@ -71,6 +71,12 @@ class KPFEncoder(nn.Module):
             elif p["name"] == "unary":
                 x = UnaryBlock(p["out_dim"], name=f"block_{i}")(
                     x, meta["masks"][p["layer_ind"]])
+            elif p["name"] in ("max_pool", "max_pool_wide"):
+                from .kpconv import max_pool
+                x = max_pool(x, meta["pools"][p["layer_ind"]])
+            elif p["name"] == "global_average":
+                from .kpconv import global_average
+                x = global_average(x, meta["masks"][p["layer_ind"]])
             else:
                 raise ValueError(f"unsupported encoder block {p['name']!r}")
             prev_layer = p["layer_ind"]
