@@ -47,14 +47,14 @@ class PyramidSpec:
 
     @classmethod
     def from_config(cls, cfg, capacities: Sequence[int]) -> "PyramidSpec":
+        cfg = dict(cfg)
         return cls(
-            architecture=tuple(cfg.architecture),
-            first_subsampling_dl=float(cfg.first_subsampling_dl),
-            conv_radius=float(cfg.conv_radius),
-            neighborhood_limits=tuple(cfg.neighborhood_limits),
+            architecture=tuple(cfg["architecture"]),
+            first_subsampling_dl=float(cfg["first_subsampling_dl"]),
+            conv_radius=float(cfg["conv_radius"]),
+            neighborhood_limits=tuple(cfg["neighborhood_limits"]),
             capacities=tuple(capacities),
-            approx_knn=bool(cfg.get("approx_knn", False))
-            if hasattr(cfg, "get") else False,
+            approx_knn=bool(cfg.get("approx_knn", False)),
         )
 
     @property

@@ -266,7 +266,9 @@ class Trainer:
             pose_final = np.asarray(pred["pose"])[-1, 0]          # (3, 4)
             pose44 = np.concatenate([pose_final, [[0, 0, 0, 1]]], axis=0)
 
-            if cfg["dataset"] == "3dmatch":
+            if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
+                # MCD_KTH reuses the 3DMatch-style est.log + RR protocol
+                # (reference generic_reg_model.py:183-189)
                 from ..benchmark.benchmark_3dmatch_rr import write_est_log
                 scene = sample["src_path"].split(os.path.sep)[1]
                 src_idx = int(os.path.basename(sample["src_path"])
@@ -296,7 +298,7 @@ class Trainer:
         results: Dict = {"metrics": avgs,
                          "pairs_per_sec": len(dataset) / (time.time() - t0)}
 
-        if cfg["dataset"] == "3dmatch":
+        if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
             from ..benchmark.benchmark_3dmatch_rr import benchmark
             report, mean_recall = benchmark(
                 os.path.join(self.log_dir, benchmark_name),
