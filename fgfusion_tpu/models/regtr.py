@@ -125,6 +125,7 @@ class RegTR(nn.Module):
             ca_val_has_pos_emb=cfg["ca_val_has_pos_emb"],
             activation=cfg.get("transformer_act", "relu"),
             dtype=cfg.get("compute_dtype", "float32"),
+            scan_layers=cfg.get("scan_layers", False),
             name="transformer_encoder")
 
         if cfg.get("direct_regress_coor", False):

@@ -140,10 +140,43 @@ class TransformerCrossEncoderLayer(nn.Module):
         return src, tgt
 
 
+class _ScanBody(nn.Module):
+    """One cross-encoder layer in nn.scan form: carry = (src, tgt),
+    per-step output = the post-layer features (the intermediates)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    pre_norm: bool
+    sa_val_has_pos_emb: bool
+    ca_val_has_pos_emb: bool
+    activation: str
+    dtype: str
+
+    @nn.compact
+    def __call__(self, carry, broadcast_args):
+        src, tgt = carry
+        src_mask, tgt_mask, src_pos, tgt_pos = broadcast_args
+        src, tgt = TransformerCrossEncoderLayer(
+            self.d_model, self.nhead, self.dim_feedforward,
+            pre_norm=self.pre_norm,
+            sa_val_has_pos_emb=self.sa_val_has_pos_emb,
+            ca_val_has_pos_emb=self.ca_val_has_pos_emb,
+            activation=self.activation, dtype=self.dtype,
+            name="layer")(src, tgt, src_mask, tgt_mask, src_pos, tgt_pos)
+        return (src, tgt), (src, tgt)
+
+
 class TransformerCrossEncoder(nn.Module):
     """N layers; returns per-layer normalized intermediates stacked as
     (L, B, N, D) for src and tgt (reference transformers.py:27-59 with
-    return_intermediate=True)."""
+    return_intermediate=True).
+
+    scan_layers=True runs the stack as a lax.scan with stacked params
+    (L, ...) — identical math, ~L-times smaller HLO, much faster XLA
+    compiles. Checkpoints are not interchangeable between the two
+    layouts, so pick one per experiment.
+    """
 
     d_model: int
     nhead: int
@@ -154,10 +187,30 @@ class TransformerCrossEncoder(nn.Module):
     ca_val_has_pos_emb: bool = False
     activation: str = "relu"
     dtype: str = "float32"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, src, tgt, src_mask, tgt_mask, src_pos=None, tgt_pos=None):
         final_norm = nn.LayerNorm(name="norm") if self.pre_norm else None
+
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                out_axes=0,
+                length=self.num_layers,
+            )(self.d_model, self.nhead, self.dim_feedforward, self.pre_norm,
+              self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
+              self.activation, self.dtype, name="layers")
+            (_, _), (src_stack, tgt_stack) = scanned(
+                (src, tgt), (src_mask, tgt_mask, src_pos, tgt_pos))
+            if final_norm is not None:
+                src_stack = final_norm(src_stack)
+                tgt_stack = final_norm(tgt_stack)
+            return src_stack, tgt_stack
+
         src_inter, tgt_inter = [], []
         for i in range(self.num_layers):
             src, tgt = TransformerCrossEncoderLayer(
