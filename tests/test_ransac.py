@@ -72,3 +72,37 @@ def test_gumbel_topk_straight_through():
         return jnp.sum(gumbel_softmax_topk(lg, 4, jax.random.PRNGKey(0)) * lg)
     g = jax.grad(f)(logits)
     assert np.any(np.asarray(g) != 0)
+
+
+def test_clnet_learns_inliers(rng):
+    """A few gradient steps on DeepRansacCLNet should separate inliers
+    from outliers on a fixed contaminated problem."""
+    import optax
+    from fgfusion_tpu.models.cl_net import DeepRansacCLNet
+
+    src, tgt, pose, n_out = make_contaminated_pair(rng, n=128, outlier_frac=0.5)
+    src_j, tgt_j = jnp.asarray(src[None]), jnp.asarray(tgt[None])
+    mask = jnp.ones((1, 128), bool)
+    labels = np.zeros(128, np.float32); labels[n_out:] = 1.0
+    labels = jnp.asarray(labels[None])
+
+    model = DeepRansacCLNet(dim=32, num_blocks=2)
+    params = model.init(jax.random.PRNGKey(0), src_j, tgt_j, mask)
+
+    def loss_fn(p):
+        _, logits = model.apply(p, src_j, tgt_j, mask)
+        z = jnp.clip(logits, -30, 30)
+        bce = jnp.maximum(z, 0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        return jnp.mean(bce)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    for _ in range(60):
+        g = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+
+    _, logits = model.apply(params, src_j, tgt_j, mask)
+    probs = np.asarray(jax.nn.sigmoid(logits))[0]
+    assert probs[n_out:].mean() > 0.6
+    assert probs[:n_out].mean() < 0.4
