@@ -100,6 +100,20 @@ def make_eval_step(model, spec: PyramidSpec):
     return eval_step
 
 
+def device_prefetch(iterator, put_fn, size: int = 2):
+    """Overlap host->device transfer with compute: keep `size` batches
+    already transferred while the current step runs (the single-host
+    analogue of flax.jax_utils.prefetch_to_device)."""
+    import collections
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put_fn(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def compute_pose_metrics(pred, batch):
     """Per-layer rot/trans errors vs GT (reference
     generic_reg_model.py:203-215 _compute_metrics over pose outputs)."""
@@ -181,10 +195,20 @@ class Trainer:
         epoch = 0
         while step < total_iter:
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
+            for batch in device_prefetch(iter(train_loader), self._put):
                 if step >= total_iter:
                     break
-                state, losses = train_step(state, self._put(batch))
+                try:
+                    # step-level resilience (reference trainer.py:145-149):
+                    # a failing step is logged and skipped, training
+                    # continues from the previous state
+                    new_state, losses = train_step(state, batch)
+                except Exception:  # noqa: BLE001
+                    self.logger.exception("step %d raised; skipping batch", step)
+                    step += 1
+                    skipped += 1
+                    continue
+                state = new_state
                 step += 1
 
                 total = float(losses["total"])

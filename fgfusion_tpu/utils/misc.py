@@ -153,6 +153,16 @@ class SummaryWriter:
             self._tb.close()
 
 
+def setup_seed(seed: int):
+    """Seed host-side RNGs (reference cvhelpers/torch_helpers.py:86).
+    Device randomness in JAX is explicit via PRNG keys, so this only
+    covers numpy/python used by the data pipeline."""
+    import random
+    random.seed(seed)
+    import numpy as _np
+    _np.random.seed(seed)
+
+
 def pretty_time_delta(seconds: float) -> str:
     seconds = int(seconds)
     days, seconds = divmod(seconds, 86400)
