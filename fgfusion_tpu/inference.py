@@ -1,0 +1,103 @@
+"""Serving API: load a checkpoint once, register point-cloud pairs.
+
+The reference has no serving layer (inference = save_result_demo.py's
+ad-hoc loop); this provides the production entry point:
+
+    engine = InferenceEngine.from_checkpoint("logs/run/ckpt",
+                                             "conf/3dmatch.yaml")
+    pose, info = engine.register(src_xyz, tgt_xyz)   # numpy in/out
+
+- one XLA program per (bucket, batch) shape, compiled lazily and cached
+  (plus the persistent on-disk compile cache);
+- clouds are padded (or subsampled) to the configured bucket;
+- returns the final-layer pose plus per-point overlap scores and the
+  coarse keypoints/correspondences for downstream use (e.g. RANSAC
+  refinement via models.ransac).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .data.buckets import collate_pairs
+from .models import get_model
+from .ops import PyramidSpec
+from .utils.config import load_config
+
+
+class InferenceEngine:
+    def __init__(self, model, variables, spec: PyramidSpec, cfg):
+        self.model = model
+        self.variables = variables
+        self.spec = spec
+        self.cfg = cfg
+        self._fwd = jax.jit(partial(self._forward, spec=spec))
+
+    def _forward(self, variables, batch, spec):
+        return self.model.apply(variables, batch, spec, train=False)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, config_path: str,
+                        capacities=None) -> "InferenceEngine":
+        from .train.checkpoint import CheckpointManager
+        from .train.trainer import create_train_state
+
+        cfg = load_config(config_path)
+        caps = capacities or cfg.get("pyramid_capacities")
+        if caps is None:
+            from .data.buckets import capacity_schedule
+            caps = capacity_schedule(int(cfg.get("point_capacity", 16384)),
+                                     cfg["num_layers"])
+        spec = PyramidSpec.from_config(cfg, caps)
+        model = get_model(cfg["model"])(cfg=dict(cfg))
+
+        dummy = {
+            "src_xyz": np.zeros((1, caps[0], 3), np.float32),
+            "tgt_xyz": np.zeros((1, caps[0], 3), np.float32),
+            "src_mask": np.zeros((1, caps[0]), bool),
+            "tgt_mask": np.zeros((1, caps[0]), bool),
+            "src_overlap": np.zeros((1, caps[0]), np.float32),
+            "tgt_overlap": np.zeros((1, caps[0]), np.float32),
+            "pose": np.eye(4, dtype=np.float32)[None, :3],
+        }
+        state, _ = create_train_state(model, cfg, spec, dummy, abstract=True)
+        state, _ = CheckpointManager(ckpt_dir).load(state, best=True)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(model, variables, spec, cfg)
+
+    # ------------------------------------------------------------------
+    def register(self, src_xyz: np.ndarray, tgt_xyz: np.ndarray,
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Tuple[np.ndarray, Dict]:
+        """Register one pair. Returns (pose (3,4) mapping src->tgt, info).
+
+        info: overlap scores + coarse keypoints/warped correspondences
+        (final transformer layer), each already unpadded.
+        """
+        sample = {"src_xyz": np.asarray(src_xyz, np.float32),
+                  "tgt_xyz": np.asarray(tgt_xyz, np.float32),
+                  "pose": np.eye(4, dtype=np.float32)[:3]}
+        batch = collate_pairs([sample], self.spec.capacities[0], rng)
+        pred = self._fwd(self.variables, batch)
+
+        pose = np.asarray(pred["pose"])[-1, 0]
+        sm = np.asarray(pred["src_mask_c"])[0]
+        tm = np.asarray(pred["tgt_mask_c"])[0]
+        info = {
+            "src_kp": np.asarray(pred["src_kp"])[0][sm],
+            "tgt_kp": np.asarray(pred["tgt_kp"])[0][tm],
+            "src_kp_warped": np.asarray(pred["src_kp_warped"])[-1, 0][sm],
+            "tgt_kp_warped": np.asarray(pred["tgt_kp_warped"])[-1, 0][tm],
+            "src_overlap": _sigmoid(np.asarray(pred["src_overlap"])[-1, 0, :, 0][sm]),
+            "tgt_overlap": _sigmoid(np.asarray(pred["tgt_overlap"])[-1, 0, :, 0][tm]),
+            "pose_all_layers": np.asarray(pred["pose"])[:, 0],
+        }
+        return pose, info
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
