@@ -44,6 +44,11 @@ class PyramidSpec:
     neighborhood_limits: Tuple[int, ...]
     capacities: Tuple[int, ...]  # per-level point capacity; [0] = input
     approx_knn: bool = False     # TPU-fast approximate neighbor search
+    need_upsamples: bool = False  # upsample tables feed only the
+                                  # decoder, which RegTR never uses
+                                  # (finegrained_kpconv.py:99-100);
+                                  # skipping them cuts 3 of the 10
+                                  # radius searches per forward
 
     @classmethod
     def from_config(cls, cfg, capacities: Sequence[int]) -> "PyramidSpec":
@@ -143,12 +148,14 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
             cap = int(spec.capacities[level + 1])
             pool_p, pool_m, n_vox = sub_b(cur_pts, cur_mask, cell, cap)
             pool_i = knn_b(pool_p, pool_m, cur_pts, cur_mask, r_normal, k)
-            up_i = knn_b(cur_pts, cur_mask, pool_p, pool_m, 2.0 * r_normal, k)
 
             out["points"].append(pool_p)
             out["masks"].append(pool_m)
             out["pools"].append(pool_i)
-            out["upsamples"].append(up_i)
+            if spec.need_upsamples:
+                up_i = knn_b(cur_pts, cur_mask, pool_p, pool_m,
+                             2.0 * r_normal, k)
+                out["upsamples"].append(up_i)
             out["n_voxels"].append(n_vox)
 
             cur_pts, cur_mask = pool_p, pool_m

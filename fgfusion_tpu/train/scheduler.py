@@ -65,4 +65,11 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     clip = cfg.get("grad_clip", 0.0)
     if clip:
         opt = optax.chain(optax.clip_by_global_norm(float(clip)), opt)
+
+    # optional gradient accumulation (absent in the reference — SURVEY
+    # §2.10; exposed here for large-cloud TPU training where the
+    # per-step pair batch is memory-bound)
+    accum = int(cfg.get("accum_steps", 1) or 1)
+    if accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     return opt

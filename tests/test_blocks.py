@@ -129,7 +129,8 @@ def test_decoder_runs(rng):
     spec = PyramidSpec(
         architecture=tuple(cfg["architecture"]),
         first_subsampling_dl=0.08, conv_radius=2.5,
-        neighborhood_limits=(10, 10), capacities=(128, 64))
+        neighborhood_limits=(10, 10), capacities=(128, 64),
+        need_upsamples=True)
     pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32) * 0.5)
     mask = jnp.ones((2, 128), bool)
     meta = build_pyramid(pts, mask, spec)

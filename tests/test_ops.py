@@ -123,6 +123,7 @@ def small_spec():
         conv_radius=2.5,
         neighborhood_limits=(16, 16, 16),
         capacities=(256, 128, 64),
+        need_upsamples=True,
     )
 
 
