@@ -59,6 +59,7 @@ def main():
         conv_radius=cfg["conv_radius"],
         neighborhood_limits=tuple(cfg["neighborhood_limits"]),
         capacities=(n0, 4096, 1536, 576),
+        approx_knn=True,
     )
     b = 1  # test-time batch size (reference test_batch_size: 1)
 
