@@ -51,6 +51,7 @@ def main():
         wt_overlap=1.0, overlap_loss_on=[5], wt_feature=0.1,
         wt_feature_un=0.0, r_p=0.2, r_n=0.4, feature_loss_on=[5],
         feature_loss_type="infonce", wt_corr=1.0, corr_loss_on=[5],
+        compute_dtype="bfloat16", scan_layers=True,
     )
     n0 = 12288
     spec = PyramidSpec(

@@ -123,10 +123,11 @@ class KPConvOp(nn.Module):
 
         w = jnp.swapaxes(w, 2, 3)                             # (C,Nq,P,K)
 
-        nb_x = batched_gather(x, neighb_idx, 0.0)             # (C,Nq,K,Cin)
+        # cast BEFORE the gather: the gathered (C,Nq,K,Cin) tensor is
+        # the dominant HBM traffic of the whole encoder; bf16 halves it
         cdt = jnp.dtype(self.compute_dtype)
-        weighted = jnp.einsum("cnpk,cnkd->cnpd", w.astype(cdt),
-                              nb_x.astype(cdt),
+        nb_x = batched_gather(x.astype(cdt), neighb_idx, 0.0)  # (C,Nq,K,Cin)
+        weighted = jnp.einsum("cnpk,cnkd->cnpd", w.astype(cdt), nb_x,
                               preferred_element_type=jnp.float32)
         out = jnp.einsum("cnpd,pde->cne", weighted.astype(cdt),
                          self.weights.astype(cdt),

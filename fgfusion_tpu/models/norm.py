@@ -16,7 +16,10 @@ _EPS = 1e-5  # torch InstanceNorm1d/BatchNorm1d default eps
 
 
 def masked_mean_var(x, mask, axes):
-    """Mean/var of x over `axes`, counting only mask==True positions."""
+    """Mean/var of x over `axes`, counting only mask==True positions.
+    Statistics always accumulate in f32 (bf16 feature tensors would
+    lose too much precision in the variance)."""
+    x = x.astype(jnp.float32)
     m = mask[..., None].astype(x.dtype)
     count = jnp.clip(jnp.sum(m, axis=axes, keepdims=True), 1.0, None)
     mean = jnp.sum(x * m, axis=axes, keepdims=True) / count
@@ -35,7 +38,7 @@ class MaskedInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         mean, var = masked_mean_var(x, mask, axes=(1,))
-        y = (x - mean) / jnp.sqrt(var + _EPS)
+        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + _EPS)
         return jnp.where(mask[..., None], y, 0.0)
 
 
@@ -76,5 +79,5 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        y = (x - mean) / jnp.sqrt(var + _EPS) * scale + bias
+        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + _EPS) * scale + bias
         return jnp.where(mask[..., None], y, 0.0)

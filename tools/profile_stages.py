@@ -48,19 +48,9 @@ def main():
     from fgfusion_tpu.ops import PyramidSpec
     from __graft_entry__ import _make_batch
 
-    if args.config:
-        from fgfusion_tpu.utils.config import load_config
-        cfg = dict(load_config(args.config))
-        caps = cfg.get("pyramid_capacities")
-    else:
-        import bench
-        cfg, caps = None, None
-        # reuse bench.py's 3DMatch-scale config
-        from bench import main as _  # noqa: F401
-    if cfg is None:
-        from fgfusion_tpu.utils.config import load_config
-        cfg = dict(load_config("conf/3dmatch.yaml"))
-        caps = cfg.get("pyramid_capacities")
+    from fgfusion_tpu.utils.config import load_config
+    cfg = dict(load_config(args.config or "conf/3dmatch.yaml"))
+    caps = cfg.get("pyramid_capacities")
     if caps is None or caps[0] != args.n0:
         ratio = args.n0 / caps[0] if caps else 1.0
         caps = [args.n0] + [max(64, int(c * ratio) // 64 * 64)
