@@ -41,14 +41,21 @@ class TrainState:
 
 
 def create_train_state(model, cfg, spec: PyramidSpec, example_batch,
-                       seed: int = 0, abstract: bool = False):
-    """Build the train state. abstract=True returns a ShapeDtypeStruct
-    pytree (via eval_shape — no compile, no compute): the restore
-    template for checkpoint loading at eval time, which matters on this
-    TPU where every fresh XLA compile is expensive."""
-    def init_fn():
+                       seed: int = 0, abstract: bool = False,
+                       init_on_cpu: bool = True):
+    """Build the train state.
+
+    abstract=True returns a ShapeDtypeStruct pytree (via eval_shape —
+    no compile, no compute): the restore template for checkpoint
+    loading at eval time.
+
+    init_on_cpu=True runs the parameter initialization on the CPU
+    backend and transfers — on this TPU a fresh XLA compile costs
+    minutes, and init would compile the full forward just to produce
+    random params."""
+    def init_fn(batch):
         return model.init({"params": jax.random.PRNGKey(seed)},
-                          example_batch, spec, train=False,
+                          batch, spec, train=False,
                           method=model.forward_with_loss)
 
     tx = make_optimizer(cfg)
@@ -61,8 +68,18 @@ def create_train_state(model, cfg, spec: PyramidSpec, example_batch,
                           step=jnp.zeros((), jnp.int32))
 
     if abstract:
-        return jax.eval_shape(lambda: to_state(init_fn())), tx
-    return to_state(init_fn()), tx
+        return jax.eval_shape(lambda: to_state(init_fn(example_batch))), tx
+
+    cpu_devices = jax.devices("cpu") if init_on_cpu else []
+    default = jax.devices()[0]
+    if cpu_devices and cpu_devices[0].platform != default.platform:
+        cpu = cpu_devices[0]
+        with jax.default_device(cpu):
+            host_batch = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), cpu), example_batch)
+            state = to_state(init_fn(host_batch))
+        return jax.device_put(state, default), tx
+    return to_state(init_fn(example_batch)), tx
 
 
 def make_train_step(model, tx, spec: PyramidSpec):
