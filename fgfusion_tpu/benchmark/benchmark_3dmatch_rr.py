@@ -20,7 +20,7 @@ the flag.npy / errors.npy side outputs.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 from scipy.spatial.transform import Rotation

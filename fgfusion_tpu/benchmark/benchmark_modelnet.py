@@ -11,7 +11,7 @@ Reference: benchmark/benchmark_modelnet.py. Metrics per pair:
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 from scipy.spatial.transform import Rotation

@@ -21,7 +21,6 @@ SetDeterministic.
 """
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, List, Optional
 

@@ -6,7 +6,7 @@ Mirrors the reference's dynamic registry surface
 'finegrained_regtr.RegTR'. We keep the same names so reference configs
 work unchanged, while mapping onto this package's flax modules.
 """
-from typing import Dict, Type
+from typing import Dict
 
 _REGISTRY: Dict[str, type] = {}
 

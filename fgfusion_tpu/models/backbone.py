@@ -9,7 +9,7 @@ reference's flag=True wiring (finegrained_kpconv.py:57-63).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

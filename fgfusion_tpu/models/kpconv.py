@@ -19,8 +19,6 @@ normalization replicates the reference's quirk of counting neighbors by
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

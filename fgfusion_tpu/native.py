@@ -13,7 +13,7 @@ import logging
 import os
 import subprocess
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

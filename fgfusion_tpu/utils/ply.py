@@ -4,8 +4,7 @@ models/backbone_kpconv/utils/ply.py for kernel caching + viz; here we
 need only xyz[+rgb] round-trips)."""
 from __future__ import annotations
 
-import struct
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
