@@ -100,8 +100,15 @@ class KPConvOp(nn.Module):
         nb_pts = batched_gather(s_pts, neighb_idx, 1e6)      # (C,Nq,K,3)
         rel = nb_pts - q_pts[:, :, None, :]
 
-        diff = rel[:, :, :, None, :] - self.kernel_pts[None, None, None]  # (C,Nq,K,P,3)
-        d2 = jnp.sum(diff * diff, axis=-1)                    # (C,Nq,K,P)
+        # ||rel - kp||^2 expanded so the cross term is one MXU matmul
+        # over the tiny 3-axis instead of materializing the
+        # (C,Nq,K,P,3) difference tensor (measured 3.7 ms/block at 4k —
+        # the encoder's hot spot). f32 throughout; values are O(radius).
+        rel2 = jnp.sum(rel * rel, axis=-1)                    # (C,Nq,K)
+        kp2 = jnp.sum(self.kernel_pts * self.kernel_pts, axis=-1)  # (P,)
+        cross = jnp.einsum("cnkx,px->cnkp", rel, self.kernel_pts,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)  # (C,Nq,K,P)
 
         if self.influence == "linear":
             w = jnp.clip(1.0 - jnp.sqrt(d2) / self.extent, 0.0, None)
