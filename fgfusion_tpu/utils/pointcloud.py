@@ -16,9 +16,19 @@ from scipy.spatial import cKDTree
 
 
 def nearest_within_radius(queries: np.ndarray, supports: np.ndarray,
-                          radius: float) -> np.ndarray:
+                          radius: float, use_native: bool = True) -> np.ndarray:
     """Index of the nearest support within radius for each query
-    (-1 if none)."""
+    (-1 if none). Uses the C++ hash-grid (csrc/) when available,
+    otherwise scipy's cKDTree."""
+    if use_native:
+        try:
+            from .. import native
+            if native.available():
+                return native.nearest_within_radius(
+                    queries.astype(np.float32), supports.astype(np.float32),
+                    radius).astype(np.int64)
+        except Exception:  # noqa: BLE001 — fall through to scipy
+            pass
     tree = cKDTree(supports)
     dist, idx = tree.query(queries, k=1, distance_upper_bound=radius)
     idx = idx.astype(np.int64)
