@@ -26,10 +26,13 @@ class CheckpointManager:
     def __init__(self, save_dir: str, max_to_keep: int = 6):
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
+        import datetime
         self._mgr = ocp.CheckpointManager(
             self.save_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True,
+                # permanent keep every 3h (reference trainer.py:34-35)
+                keep_time_interval=datetime.timedelta(hours=3),
                 enable_async_checkpointing=True),
         )
         self._index_path = os.path.join(self.save_dir, "checkpoints.txt")
