@@ -71,12 +71,19 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def register(self, src_xyz: np.ndarray, tgt_xyz: np.ndarray,
-                 rng: Optional[np.random.Generator] = None
+                 rng: Optional[np.random.Generator] = None,
+                 refine: Optional[str] = None, seed: int = 0
                  ) -> Tuple[np.ndarray, Dict]:
         """Register one pair. Returns (pose (3,4) mapping src->tgt, info).
 
         info: overlap scores + coarse keypoints/warped correspondences
         (final transformer layer), each already unpadded.
+
+        refine='ransac' additionally runs the batched on-device RANSAC
+        (models.ransac) over the predicted correspondences, sampling
+        proportionally to the overlap confidences — the TPU-native
+        analogue of the reference's vendored nabla-RANSAC refinement
+        (BASELINE.json: "RANSAC-refined inference").
         """
         sample = {"src_xyz": np.asarray(src_xyz, np.float32),
                   "tgt_xyz": np.asarray(tgt_xyz, np.float32),
@@ -96,6 +103,23 @@ class InferenceEngine:
             "tgt_overlap": _sigmoid(np.asarray(pred["tgt_overlap"])[-1, 0, :, 0][tm]),
             "pose_all_layers": np.asarray(pred["pose"])[:, 0],
         }
+
+        if refine == "ransac":
+            import jax
+            from .models.ransac import ransac_rigid
+            corr_src = np.concatenate([info["src_kp"], info["tgt_kp_warped"]])
+            corr_tgt = np.concatenate([info["src_kp_warped"], info["tgt_kp"]])
+            weights = np.concatenate([info["src_overlap"], info["tgt_overlap"]])
+            refined, inliers, score = ransac_rigid(
+                np.asarray(corr_src, np.float32),
+                np.asarray(corr_tgt, np.float32),
+                jax.random.PRNGKey(seed),
+                weights=np.asarray(weights, np.float32),
+                num_hypotheses=256,
+                inlier_threshold=float(self.cfg.get("overlap_radius", 0.0375)) * 2)
+            info["ransac_inliers"] = np.asarray(inliers)
+            info["ransac_score"] = float(score)
+            pose = np.asarray(refined)
         return pose, info
 
 

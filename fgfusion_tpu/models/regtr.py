@@ -104,6 +104,12 @@ class RegTR(nn.Module):
 
     def setup(self):
         cfg = dict(self.cfg)
+        if cfg.get("dropout", 0.0):
+            # every reference config uses dropout 0.0 (and notes it is
+            # "not compatible", conf/modelnet.yaml:69); fail loudly
+            # rather than silently ignoring a nonzero setting
+            raise NotImplementedError(
+                "dropout > 0 is not supported (reference configs all use 0.0)")
         self.kpf_encoder = KPFEncoder(cfg, name="kpf_encoder")
         self.feat_proj = nn.Dense(cfg["d_embed"], use_bias=True,
                                   kernel_init=torch_linear_init,
