@@ -240,6 +240,10 @@ class RegTR(nn.Module):
             "tgt_mask_c": tgt_mask_c,
             "pose": pose,                    # (L, B, 3, 4)
             "num_pred": num_pred,
+            # occupancy counters for capacity-overflow monitoring
+            # (levels>=1, 2B); compare against spec.capacities[1:]
+            "n_voxels": jnp.stack(meta["n_voxels"]) if meta["n_voxels"]
+                        else jnp.zeros((0, 2 * b), jnp.int32),
         }
 
     # ------------------------------------------------------------------

@@ -198,7 +198,7 @@ class Trainer:
         # sanity validation (reference trainer.py:83-85)
         if self.nb_sanity_val_steps > 0:
             self._validate(eval_step, state, val_loader,
-                           limit=self.nb_sanity_val_steps, step=0)
+                           limit=self.nb_sanity_val_steps, step=0, spec=spec)
 
         self.logger.info("training for %d steps (%s epochs of %d steps)",
                          total_iter,
@@ -360,12 +360,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _validate(self, eval_step, state, val_loader, step: int = 0,
-                  limit: Optional[int] = None) -> float:
+                  limit: Optional[int] = None, spec: Optional[PyramidSpec] = None)\
+            -> float:
         stats = StatsMeter()
         for i, batch in enumerate(val_loader):
             if limit is not None and i >= limit:
                 break
-            _, losses, metrics = eval_step(state, self._put(batch))
+            pred, losses, metrics = eval_step(state, self._put(batch))
+            if i == 0 and spec is not None and "n_voxels" in pred:
+                nv = np.asarray(pred["n_voxels"])       # (levels-1, C)
+                for lvl in range(nv.shape[0]):
+                    cap = spec.capacities[lvl + 1]
+                    worst = int(nv[lvl].max()) if nv.size else 0
+                    if worst > cap:
+                        self.logger.warning(
+                            "pyramid level %d overflow: %d voxels > capacity "
+                            "%d (points dropped; recalibrate capacities)",
+                            lvl + 1, worst, cap)
             stats.update_dict({k: float(v) for k, v in losses.items()})
             rot = np.asarray(metrics["rot_deg"])    # (L, B)
             trans = np.asarray(metrics["trans"])
