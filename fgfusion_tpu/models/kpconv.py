@@ -57,6 +57,49 @@ def global_average(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1.0, None)
 
 
+def kpconv_influence(q_pts, s_pts, neighb_idx, kernel_pts, extent,
+                     influence_type: str = "linear",
+                     aggregation: str = "sum"):
+    """Kernel-point influence weights (C,Nq,P,K) for one neighbor table.
+
+    Factored out of the conv so it can be computed ONCE per pyramid
+    level and shared by every block at that level (all blocks at a
+    level share the same neighbor table, radius, extent and kernel
+    disposition) — the device trace showed the per-block coordinate
+    gathers + influence chains dominating the encoder.
+    """
+    # Neighbor coordinates relative to the query; missing neighbors
+    # land at 1e6 so their influence is exactly 0.
+    nb_pts = batched_gather(s_pts, neighb_idx, 1e6)      # (C,Nq,K,3)
+    rel = nb_pts - q_pts[:, :, None, :]
+
+    # ||rel - kp||^2 expanded so the cross term is one MXU matmul over
+    # the tiny 3-axis instead of materializing a (C,Nq,K,P,3) tensor.
+    rel2 = jnp.sum(rel * rel, axis=-1)                    # (C,Nq,K)
+    kp2 = jnp.sum(kernel_pts * kernel_pts, axis=-1)       # (P,)
+    cross = jnp.einsum("cnkx,px->cnkp", rel, kernel_pts,
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)  # (C,Nq,K,P)
+
+    if influence_type == "linear":
+        w = jnp.clip(1.0 - jnp.sqrt(d2) / extent, 0.0, None)
+    elif influence_type == "constant":
+        w = jnp.ones_like(d2)
+    elif influence_type == "gaussian":
+        sigma = extent * 0.3
+        w = jnp.exp(-d2 / (2 * sigma * sigma + 1e-9))
+    else:
+        raise ValueError(influence_type)
+
+    if aggregation == "closest":
+        closest = jnp.argmin(d2, axis=-1)                 # (C,Nq,K)
+        w = w * jax.nn.one_hot(closest, kernel_pts.shape[0], dtype=w.dtype)
+    elif aggregation != "sum":
+        raise ValueError(aggregation)
+
+    return jnp.swapaxes(w, 2, 3)                          # (C,Nq,P,K)
+
+
 class KPConvOp(nn.Module):
     """Rigid kernel-point convolution.
 
@@ -92,41 +135,15 @@ class KPConvOp(nn.Module):
                 minval=-bound, maxval=bound),
         )
 
-    def __call__(self, q_pts, s_pts, neighb_idx, x):
+    def __call__(self, q_pts, s_pts, neighb_idx, x, influence=None):
         """q_pts (C,Nq,3), s_pts (C,Ns,3), neighb_idx (C,Nq,K),
-        x (C,Ns,Cin) -> (C,Nq,Cout)."""
-        # Neighbor coordinates relative to the query; missing neighbors
-        # land at 1e6 so their influence is exactly 0.
-        nb_pts = batched_gather(s_pts, neighb_idx, 1e6)      # (C,Nq,K,3)
-        rel = nb_pts - q_pts[:, :, None, :]
-
-        # ||rel - kp||^2 expanded so the cross term is one MXU matmul
-        # over the tiny 3-axis instead of materializing the
-        # (C,Nq,K,P,3) difference tensor (measured 3.7 ms/block at 4k —
-        # the encoder's hot spot). f32 throughout; values are O(radius).
-        rel2 = jnp.sum(rel * rel, axis=-1)                    # (C,Nq,K)
-        kp2 = jnp.sum(self.kernel_pts * self.kernel_pts, axis=-1)  # (P,)
-        cross = jnp.einsum("cnkx,px->cnkp", rel, self.kernel_pts,
-                           precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)  # (C,Nq,K,P)
-
-        if self.influence == "linear":
-            w = jnp.clip(1.0 - jnp.sqrt(d2) / self.extent, 0.0, None)
-        elif self.influence == "constant":
-            w = jnp.ones_like(d2)
-        elif self.influence == "gaussian":
-            sigma = self.extent * 0.3
-            w = jnp.exp(-d2 / (2 * sigma * sigma + 1e-9))
-        else:
-            raise ValueError(self.influence)
-
-        if self.aggregation == "closest":
-            closest = jnp.argmin(d2, axis=-1)                 # (C,Nq,K)
-            w = w * jax.nn.one_hot(closest, self.num_kernel_points, dtype=w.dtype)
-        elif self.aggregation != "sum":
-            raise ValueError(self.aggregation)
-
-        w = jnp.swapaxes(w, 2, 3)                             # (C,Nq,P,K)
+        x (C,Ns,Cin) -> (C,Nq,Cout). `influence` (C,Nq,P,K), if given,
+        skips the per-block geometry (shared-per-level fast path)."""
+        if influence is None:
+            influence = kpconv_influence(
+                q_pts, s_pts, neighb_idx, self.kernel_pts, self.extent,
+                self.influence, self.aggregation)
+        w = influence
 
         # cast BEFORE the gather: the gathered (C,Nq,K,Cin) tensor is
         # the dominant HBM traffic of the whole encoder; bf16 halves it
@@ -182,13 +199,14 @@ class SimpleBlock(nn.Module):
         cfg = self.cfg
         extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
         q, s, idx, mask = _select_level_io(self.block_name, self.layer_ind, meta)
+        infl = _select_influence(self.block_name, self.layer_ind, meta)
         x = KPConvOp(
             num_kernel_points=cfg["num_kernel_points"], in_dim=self.in_dim,
             out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
             compute_dtype=cfg.get("compute_dtype", "float32"),
-            name="kpconv")(q, s, idx, x)
+            name="kpconv")(q, s, idx, x, influence=infl)
         x = MaskedInstanceNorm(name="norm")(x, mask)
         return nn.leaky_relu(x, 0.1)
 
@@ -217,6 +235,7 @@ class ResnetBottleneckBlock(nn.Module):
         strided = "strided" in self.block_name
         mask_pre = meta["masks"][self.layer_ind]
         q, s, idx, mask_post = _select_level_io(self.block_name, self.layer_ind, meta)
+        infl = _select_influence(self.block_name, self.layer_ind, meta)
 
         h = x
         if self.in_dim != self.out_dim // 4:
@@ -228,7 +247,7 @@ class ResnetBottleneckBlock(nn.Module):
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
             compute_dtype=cfg.get("compute_dtype", "float32"),
-            name="kpconv")(q, s, idx, h)
+            name="kpconv")(q, s, idx, h, influence=infl)
         h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)
         h = Res2NetFusion(self.out_dim // 4, self.out_dim, base_width=14, scale=8,
                           name="res2net")(h, mask_post, train=train)
@@ -239,6 +258,14 @@ class ResnetBottleneckBlock(nn.Module):
             shortcut = UnaryBlock(self.out_dim, no_relu=True,
                                   name="unary_shortcut")(shortcut, mask_post)
         return nn.leaky_relu(h + shortcut, 0.1)
+
+
+def _select_influence(block_name: str, layer_ind: int, meta):
+    """Shared per-level influence tables (set by KPFEncoder); None when
+    the encoder runs without precomputation (e.g. standalone blocks)."""
+    key = "influence_pool" if "strided" in block_name else "influence"
+    table = meta.get(key)
+    return None if table is None else table.get(layer_ind)
 
 
 def _select_level_io(block_name: str, layer_ind: int, meta):
