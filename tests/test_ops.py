@@ -173,3 +173,32 @@ def test_pyramid_monotone_under_jit_vs_eager(rng, small_spec):
         jnp.asarray(pts), jnp.asarray(mask), small_spec)
     for a, b in zip(jax.tree.leaves(eager), jax.tree.leaves(jitted)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_compute_overlaps_pyramid(rng, small_spec):
+    from fgfusion_tpu.ops.kpconv_meta import compute_overlaps
+    C, n0 = 2, 256
+    pts = rng.normal(size=(C, n0, 3)).astype(np.float32) * 0.5
+    mask = np.ones((C, n0), bool)
+    meta = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), small_spec)
+
+    # all-ones overlap stays (approximately) one everywhere
+    ones = jnp.ones((C, n0), jnp.float32)
+    pyr = compute_overlaps(ones, meta)
+    assert len(pyr) == 3
+    for lvl, ov in enumerate(pyr):
+        m = np.asarray(meta["masks"][lvl])
+        np.testing.assert_allclose(np.asarray(ov)[m], 1.0, atol=1e-6)
+        assert np.all(np.asarray(ov)[~m] == 0.0)
+
+    # zero overlap propagates zeros
+    pyr0 = compute_overlaps(jnp.zeros((C, n0), jnp.float32), meta)
+    for ov in pyr0:
+        np.testing.assert_allclose(np.asarray(ov), 0.0, atol=1e-6)
+
+    # spatially-split overlap yields intermediate values at boundaries
+    half = (pts[..., 0] > 0).astype(np.float32)
+    pyr_h = compute_overlaps(jnp.asarray(half), meta)
+    v = np.asarray(pyr_h[-1])[np.asarray(meta["masks"][-1])]
+    assert v.min() >= 0.0 and v.max() <= 1.0
+    assert 0.2 < v.mean() < 0.8
