@@ -56,40 +56,12 @@ class KPFEncoder(nn.Module):
         Returns (features at coarsest level (C, N_L, D_out), skips)."""
         cfg = dict(self.cfg)
         plan, _ = encoder_plan(cfg)
-
-        # Shared per-level influence tables: every block at a level uses
-        # the same neighbor table, radius, extent and kernel disposition
-        # (kp_seed fixed), so the geometry gathers + influence chains —
-        # the encoder's dominant cost in device traces — run once per
-        # level instead of once per block.
-        from .kernel_points import load_kernel_points
-        from .kpconv import kpconv_influence
-        infl_conv, infl_pool = {}, {}
-        for p in plan:
-            if not (p["name"].startswith("simple")
-                    or p["name"].startswith("resnetb")):
-                continue
-            l = p["layer_ind"]
-            strided = "strided" in p["name"]
-            key_tbl = infl_pool if strided else infl_conv
-            if l in key_tbl:
-                continue
-            extent = p["radius"] * cfg["KP_extent"] / cfg["conv_radius"]
-            kp = jnp.asarray(load_kernel_points(
-                p["radius"], cfg["num_kernel_points"],
-                fixed=cfg["fixed_kernel_points"], seed=0))
-            if strided:
-                key_tbl[l] = kpconv_influence(
-                    meta["points"][l + 1], meta["points"][l],
-                    meta["pools"][l], kp, extent,
-                    cfg["KP_influence"], cfg["aggregation_mode"])
-            else:
-                key_tbl[l] = kpconv_influence(
-                    meta["points"][l], meta["points"][l],
-                    meta["neighbors"][l], kp, extent,
-                    cfg["KP_influence"], cfg["aggregation_mode"])
-        meta = {**meta, "influence": infl_conv, "influence_pool": infl_pool}
-
+        # NOTE: a shared-per-level influence precomputation was tried
+        # here and measured SLOWER on TPU (13.8 vs 15.4 pairs/s @12k):
+        # materializing the (C,N,P,K) influence tensors to HBM and
+        # re-reading them per block costs more than letting XLA fuse
+        # the per-block geometry chain into each conv. Blocks therefore
+        # compute influence inline (kpconv.kpconv_influence).
         skips = []
         for i, p in enumerate(plan):
             if "strided" in p["name"] or "pool" in p["name"]:
