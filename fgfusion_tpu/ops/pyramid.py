@@ -44,6 +44,7 @@ class PyramidSpec:
     neighborhood_limits: Tuple[int, ...]
     capacities: Tuple[int, ...]  # per-level point capacity; [0] = input
     approx_knn: bool = False     # TPU-fast approximate neighbor search
+    knn_chunk: int = 2048        # query tile for the tiled distance search
     need_upsamples: bool = False  # upsample tables feed only the
                                   # decoder, which RegTR never uses
                                   # (finegrained_kpconv.py:99-100);
@@ -128,7 +129,8 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
 
     knn_b = jax.vmap(
         lambda q, qm, s, sm, radius, k: radius_knn(
-            q, qm, s, sm, radius=radius, k=k, approx=spec.approx_knn),
+            q, qm, s, sm, radius=radius, k=k, approx=spec.approx_knn,
+            chunk=spec.knn_chunk),
         in_axes=(0, 0, 0, 0, None, None))
     sub_b = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
 
