@@ -62,17 +62,34 @@ class KPFEncoder(nn.Module):
         # re-reading them per block costs more than letting XLA fuse
         # the per-block geometry chain into each conv. Blocks therefore
         # compute influence inline (kpconv.kpconv_influence).
+        # rematerialization trades recompute for activation memory —
+        # the gathered (C,N,K,Cin) tensors dominate training HBM at
+        # large buckets (config: remat_encoder: true). `train` is closed
+        # over (it must stay a static python bool inside the blocks).
+        remat = cfg.get("remat_encoder", False)
+
+        def run_simple(block, *args):
+            if remat:
+                return nn.remat(lambda m, a, b: m(a, b))(block, *args)
+            return block(*args)
+
+        def run_resnetb(block, *args):
+            if remat:
+                return nn.remat(lambda m, a, b: m(a, b, train))(block, *args)
+            return block(*args, train)
+
         skips = []
         for i, p in enumerate(plan):
             if "strided" in p["name"] or "pool" in p["name"]:
                 skips.append(x)
             if p["name"].startswith("simple"):
-                x = SimpleBlock(p["name"], p["in_dim"], p["out_dim"], p["radius"],
-                                p["layer_ind"], cfg, name=f"block_{i}")(x, meta)
-            elif p["name"].startswith("resnetb"):
-                x = ResnetBottleneckBlock(
+                x = run_simple(SimpleBlock(
                     p["name"], p["in_dim"], p["out_dim"], p["radius"],
-                    p["layer_ind"], cfg, name=f"block_{i}")(x, meta, train=train)
+                    p["layer_ind"], cfg, name=f"block_{i}"), x, meta)
+            elif p["name"].startswith("resnetb"):
+                x = run_resnetb(ResnetBottleneckBlock(
+                    p["name"], p["in_dim"], p["out_dim"], p["radius"],
+                    p["layer_ind"], cfg, name=f"block_{i}"), x, meta)
             elif p["name"] == "unary":
                 x = UnaryBlock(p["out_dim"], name=f"block_{i}")(
                     x, meta["masks"][p["layer_ind"]])
