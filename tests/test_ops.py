@@ -202,3 +202,28 @@ def test_compute_overlaps_pyramid(rng, small_spec):
     v = np.asarray(pyr_h[-1])[np.asarray(meta["masks"][-1])]
     assert v.min() >= 0.0 and v.max() <= 1.0
     assert 0.2 < v.mean() < 0.8
+
+
+def test_radius_knn_approx_recall(rng):
+    """The approx path must recover nearly all true neighbors (it is
+    the production default on TPU; jax.lax.approx_max_k recall ~0.95)."""
+    n, k, radius = 2048, 24, 0.25
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    m = np.ones(n, bool)
+    exact = np.asarray(radius_knn(jnp.asarray(pts), jnp.asarray(m),
+                                  jnp.asarray(pts), jnp.asarray(m),
+                                  radius=radius, k=k, approx=False))
+    approx = np.asarray(radius_knn(jnp.asarray(pts), jnp.asarray(m),
+                                   jnp.asarray(pts), jnp.asarray(m),
+                                   radius=radius, k=k, approx=True))
+    hits = total = 0
+    for i in range(n):
+        e = set(j for j in exact[i] if j < n)
+        a = set(j for j in approx[i] if j < n)
+        total += len(e)
+        hits += len(e & a)
+        # approx never invents out-of-radius neighbors
+        d = np.linalg.norm(pts[i] - pts[list(a)], axis=1) if a else []
+        assert all(x < radius for x in d)
+    recall = hits / max(total, 1)
+    assert recall > 0.9, f"approx recall too low: {recall:.3f}"
