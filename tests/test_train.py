@@ -91,3 +91,22 @@ def test_multichip_train_step(setup):
     # params remain replicated
     p0 = jax.tree.leaves(new_state.params)[0]
     assert len(p0.sharding.device_set) in (1, 8)
+
+
+def test_trainer_put_sharding(setup, tmp_path):
+    """Batch entries divisible by the device count shard on 'data';
+    others replicate."""
+    from fgfusion_tpu.train.trainer import Trainer
+    model, tx, fresh_state, _ = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(reg_success_thresh_rot=10, reg_success_thresh_trans=0.1)
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+
+    batch = {
+        "src_xyz": np.zeros((8, 16, 3), np.float32),   # 8 % 8 == 0 -> sharded
+        "pose": np.zeros((2, 3, 4), np.float32),       # 2 % 8 != 0 -> replicated
+    }
+    out = trainer._put(batch)
+    assert len(out["src_xyz"].sharding.device_set) == 8
+    assert not out["src_xyz"].sharding.is_fully_replicated
+    assert out["pose"].sharding.is_fully_replicated
