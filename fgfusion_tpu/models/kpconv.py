@@ -139,16 +139,50 @@ class KPConvOp(nn.Module):
         """q_pts (C,Nq,3), s_pts (C,Ns,3), neighb_idx (C,Nq,K),
         x (C,Ns,Cin) -> (C,Nq,Cout). `influence` (C,Nq,P,K), if given,
         skips the per-block geometry (shared-per-level fast path)."""
-        if influence is None:
-            influence = kpconv_influence(
-                q_pts, s_pts, neighb_idx, self.kernel_pts, self.extent,
-                self.influence, self.aggregation)
-        w = influence
-
-        # cast BEFORE the gather: the gathered (C,Nq,K,Cin) tensor is
-        # the dominant HBM traffic of the whole encoder; bf16 halves it
         cdt = jnp.dtype(self.compute_dtype)
-        nb_x = batched_gather(x.astype(cdt), neighb_idx, 0.0)  # (C,Nq,K,Cin)
+
+        if influence is not None:
+            w = influence
+            nb_x = batched_gather(x.astype(cdt), neighb_idx, 0.0)
+        else:
+            # ONE fused gather for coordinates + features: TPU gathers
+            # are row-latency-bound (device trace: ~350 MB/s effective),
+            # so fewer, wider rows beat two separate gathers. Missing
+            # neighbors are handled by masking the influence weights
+            # (numerically identical to the reference's far-away shadow
+            # point: both yield exactly zero influence).
+            valid = neighb_idx < s_pts.shape[1]                 # (C,Nq,K)
+            both = jnp.concatenate(
+                [s_pts, x.astype(jnp.float32)], axis=-1)        # (C,Ns,3+Cin)
+            nb = batched_gather(both, neighb_idx, 0.0)          # (C,Nq,K,3+Cin)
+            nb_pts = nb[..., :3]
+            nb_x = nb[..., 3:].astype(cdt)
+
+            rel = nb_pts - q_pts[:, :, None, :]
+            rel2 = jnp.sum(rel * rel, axis=-1)                  # (C,Nq,K)
+            kp2 = jnp.sum(self.kernel_pts * self.kernel_pts, axis=-1)
+            cross = jnp.einsum("cnkx,px->cnkp", rel, self.kernel_pts,
+                               precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)
+
+            if self.influence == "linear":
+                w = jnp.clip(1.0 - jnp.sqrt(d2) / self.extent, 0.0, None)
+            elif self.influence == "constant":
+                w = jnp.ones_like(d2)
+            elif self.influence == "gaussian":
+                sigma = self.extent * 0.3
+                w = jnp.exp(-d2 / (2 * sigma * sigma + 1e-9))
+            else:
+                raise ValueError(self.influence)
+            if self.aggregation == "closest":
+                closest = jnp.argmin(d2, axis=-1)
+                w = w * jax.nn.one_hot(closest, self.num_kernel_points,
+                                       dtype=w.dtype)
+            elif self.aggregation != "sum":
+                raise ValueError(self.aggregation)
+            w = jnp.where(valid[..., None], w, 0.0)             # mask shadows
+            w = jnp.swapaxes(w, 2, 3)                           # (C,Nq,P,K)
+
         weighted = jnp.einsum("cnpk,cnkd->cnpd", w.astype(cdt), nb_x,
                               preferred_element_type=jnp.float32)
         out = jnp.einsum("cnpd,pde->cne", weighted.astype(cdt),
