@@ -141,6 +141,7 @@ class KPConvOp(nn.Module):
         skips the per-block geometry (shared-per-level fast path)."""
         cdt = jnp.dtype(self.compute_dtype)
 
+        valid = None
         if influence is not None:
             w = influence
             nb_x = batched_gather(x.astype(cdt), neighb_idx, 0.0)
@@ -151,10 +152,21 @@ class KPConvOp(nn.Module):
             # neighbors are handled by masking the influence weights
             # (numerically identical to the reference's far-away shadow
             # point: both yield exactly zero influence).
+            #
+            # The gather is RAW (clipped index, no where): zeroing the
+            # gathered tensor would cost a full extra HBM round trip
+            # (HLO select fusions, ~3 ms/fwd @12k). Invalid neighbors
+            # contribute exactly 0 to the weighted sum because their
+            # influence row is zeroed below (0 * finite == 0), and the
+            # density count uses `valid` directly — bit-exact.
             valid = neighb_idx < s_pts.shape[1]                 # (C,Nq,K)
             both = jnp.concatenate(
                 [s_pts, x.astype(jnp.float32)], axis=-1)        # (C,Ns,3+Cin)
-            nb = batched_gather(both, neighb_idx, 0.0)          # (C,Nq,K,3+Cin)
+            c, ns = both.shape[0], both.shape[1]
+            nq, k = neighb_idx.shape[1], neighb_idx.shape[2]
+            safe = jnp.clip(neighb_idx, 0, ns - 1).reshape(c, nq * k, 1)
+            nb = jnp.take_along_axis(both, safe, axis=1).reshape(
+                c, nq, k, both.shape[-1])                       # (C,Nq,K,3+Cin)
             nb_pts = nb[..., :3]
             nb_x = nb[..., 3:].astype(cdt)
 
@@ -189,8 +201,14 @@ class KPConvOp(nn.Module):
                          self.weights.astype(cdt),
                          preferred_element_type=jnp.float32)
 
-        # density normalization (reference blocks.py:396-399)
-        nb_count = jnp.sum(jnp.sum(nb_x, axis=-1) > 0.0, axis=-1)   # (C,Nq)
+        # density normalization (reference blocks.py:396-399): count
+        # neighbors whose feature-sum is positive. With the raw gather,
+        # invalid slots may hold a real row's values — AND with `valid`
+        # reproduces the shadow-row-is-zero semantics exactly.
+        nonzero = jnp.sum(nb_x, axis=-1) > 0.0                       # (C,Nq,K)
+        if valid is not None:
+            nonzero = jnp.logical_and(nonzero, valid)
+        nb_count = jnp.sum(nonzero, axis=-1)                         # (C,Nq)
         nb_count = jnp.clip(nb_count, 1, None).astype(out.dtype)
         return out / nb_count[..., None]
 
