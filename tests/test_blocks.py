@@ -145,3 +145,30 @@ def test_decoder_runs(rng):
     v_dec = dec.init(jax.random.PRNGKey(1), feats, skips, meta, train=False)
     out, _ = dec.apply(v_dec, feats, skips, meta, train=False)
     assert out.shape[1] == 128  # back at full resolution
+
+
+def test_kpconv_raw_gather_bit_exact_vs_masked_path(rng):
+    """The fused path's raw clipped gather (invalid neighbors masked
+    only through zeroed influence weights) must equal the
+    influence-precomputed path, which still uses the masked gather —
+    bit-exact, including sentinel neighbors and 1e6-padded points."""
+    from fgfusion_tpu.models.kpconv import kpconv_influence
+
+    c, ns, nq, k, cin, cout = 2, 300, 300, 17, 24, 40
+    s = rng.normal(size=(c, ns, 3)).astype(np.float32)
+    s[:, -20:] = 1e6                      # padded points
+    q = s[:, :nq]
+    x = rng.normal(size=(c, ns, cin)).astype(np.float32)
+    idx = rng.integers(0, ns + 1, size=(c, nq, k)).astype(np.int32)
+
+    op = KPConvOp(num_kernel_points=15, in_dim=cin, out_dim=cout,
+                  extent=0.12, radius=0.1)
+    v = op.init(jax.random.PRNGKey(0), jnp.asarray(q), jnp.asarray(s),
+                jnp.asarray(idx), jnp.asarray(x))
+    out_fused = op.apply(v, jnp.asarray(q), jnp.asarray(s),
+                         jnp.asarray(idx), jnp.asarray(x))
+    infl = kpconv_influence(jnp.asarray(q), jnp.asarray(s),
+                            jnp.asarray(idx), op.bind(v).kernel_pts, 0.12)
+    out_ref = op.apply(v, jnp.asarray(q), jnp.asarray(s),
+                       jnp.asarray(idx), jnp.asarray(x), infl)
+    assert float(jnp.max(jnp.abs(out_fused - out_ref))) == 0.0
