@@ -108,8 +108,18 @@ class ModelNetPairGenerator:
         crop_sizes = None
 
         if self.noise_type == "crop" and not all(p == 1.0 for p in self.partial):
+            # src cropped with p_keep[0], ref with p_keep[1]. NB the
+            # reference (modelnet_transforms.py:216-217) crops ref with
+            # p_keep[0] — a quirk inherited from REGTR that diverges
+            # from RPMNet's original p_keep[1]; identical for every
+            # shipped (symmetric) config, we use the correct index.
+            # A 1-element p_keep crops only src
+            # (modelnet_transforms.py:211-214).
             src, src_mask = crop_halfspace(src, self.partial[0], rng)
-            ref, ref_mask = crop_halfspace(ref, self.partial[0], rng)
+            if len(self.partial) == 1:
+                ref_mask = np.ones(n, bool)
+            else:
+                ref, ref_mask = crop_halfspace(ref, self.partial[1], rng)
             # overlap = has surviving correspondence on the other side
             src_ov = np.zeros(n, bool)
             src_ov[corr[0][ref_mask[corr[1]]]] = True
@@ -121,7 +131,14 @@ class ModelNetPairGenerator:
             ref_map = np.full(n, -1); ref_map[ref_mask] = np.arange(ref_mask.sum())
             corr = np.stack([src_map[corr[0]], ref_map[corr[1]]])
             corr = corr[:, np.all(corr >= 0, axis=0)]
-            crop_sizes = (717, 717)  # Predator-parity resample size
+            if len(self.partial) == 1:
+                # src-only crop: resample src to ceil(p0*num), ref to num
+                # (reference modelnet_transforms.py:86-88)
+                import math
+                crop_sizes = (math.ceil(self.partial[0] * self.num_points),
+                              self.num_points)
+            else:
+                crop_sizes = (717, 717)  # Predator-parity resample size
         else:
             src_ov = np.ones(n, bool)
             ref_ov = np.ones(n, bool)

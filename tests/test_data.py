@@ -40,6 +40,36 @@ def test_modelnet_generator_crop(rng):
     check_pair_consistency(sample)
 
 
+def test_modelnet_generator_asymmetric_partial(rng):
+    """ref must be cropped with p_keep[1], not p_keep[0] (round-1 bug:
+    both sides used partial[0])."""
+    gen = ModelNetPairGenerator(noise_type="crop", num_points=1024,
+                                partial=[0.9, 0.3], jitter_scale=0.0)
+    raw = sphere_cloud(rng, 2048)
+    # intercept the crop result before resampling: run the crop stage
+    # statistics via overlap fractions of the generated sample.
+    sample = gen(raw, np.random.default_rng(3))
+    # src keeps 90% of a sphere while ref keeps 30%: every surviving ref
+    # point has its src twin present with high probability, while most
+    # src points lost their ref twin.
+    assert sample["tgt_overlap"].mean() > 0.75
+    assert sample["src_overlap"].mean() < 0.55
+    check_pair_consistency(sample)
+
+
+def test_modelnet_generator_single_element_partial(rng):
+    """1-element p_keep crops only src; resample sizes follow
+    reference modelnet_transforms.py:86-88."""
+    gen = ModelNetPairGenerator(noise_type="crop", num_points=1024,
+                                partial=[0.7])
+    sample = gen(sphere_cloud(rng, 2048), np.random.default_rng(5))
+    assert sample["src_xyz"].shape == (int(np.ceil(0.7 * 1024)), 3)
+    assert sample["tgt_xyz"].shape == (1024, 3)
+    assert sample["tgt_overlap"].mean() < 1.0  # some ref pts lost src twin
+    assert sample["src_overlap"].mean() == 1.0  # ref uncropped: all src survive
+    check_pair_consistency(sample)
+
+
 def test_modelnet_generator_clean_and_jitter(rng):
     for noise_type, n_expect in (("clean", 2048), ("jitter", 800)):
         gen = ModelNetPairGenerator(noise_type=noise_type, num_points=800)
