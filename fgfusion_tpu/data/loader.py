@@ -86,17 +86,47 @@ class DataLoader:
             yield chunk
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        work = queue.Queue(maxsize=self.prefetch * self.num_workers + 1)
+        work = queue.Queue(maxsize=self.prefetch)
         done = object()
 
         def producer():
+            """Reads items through a real num_workers-wide thread pool
+            (numpy/h5py/torch-load release the GIL in the hot parts) and
+            keeps `prefetch` batches of item-futures in flight, so IO
+            for batch k+1..k+prefetch overlaps the consumer's step k.
+            Determinism is unaffected: randomness is keyed by
+            (seed, epoch, index), never by worker scheduling."""
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
             try:
-                for chunk in self._batches():
-                    samples = [self._item(int(j)) for j in chunk]
-                    rng = np.random.default_rng((self.seed, self.epoch, 1 << 20))
-                    batch = collate_pairs(samples, self.n0, rng)
-                    batch["idx"] = np.asarray([s.get("idx", -1) for s in samples])
-                    work.put(batch)
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    chunks = iter(self._batches())
+                    pending = collections.deque()
+
+                    def submit_next():
+                        chunk = next(chunks, None)
+                        if chunk is None:
+                            return False
+                        pending.append(
+                            (chunk,
+                             [pool.submit(self._item, int(j)) for j in chunk]))
+                        return True
+
+                    for _ in range(self.prefetch + 1):
+                        if not submit_next():
+                            break
+                    batch_idx = 0
+                    while pending:
+                        chunk, futures = pending.popleft()
+                        samples = [f.result() for f in futures]
+                        rng = np.random.default_rng(
+                            (self.seed, self.epoch, 1 << 20, batch_idx))
+                        batch = collate_pairs(samples, self.n0, rng)
+                        batch["idx"] = np.asarray(
+                            [s.get("idx", -1) for s in samples])
+                        work.put(batch)
+                        batch_idx += 1
+                        submit_next()
             except BaseException as e:  # surface loader errors to the consumer
                 work.put(e)
             finally:

@@ -83,6 +83,17 @@ def create_train_state(model, cfg, spec: PyramidSpec, example_batch,
 
 
 def make_train_step(model, tx, spec: PyramidSpec):
+    """Fused train step with an in-graph non-finite guard.
+
+    Reference trainer.py:137-149 skips a batch whose loss is
+    non-finite and continues from the previous state. Doing that on the
+    host would require a blocking sync every step AND is unsound with
+    buffer donation (the old state's buffers are already invalidated
+    once the step is dispatched). Instead the skip is part of the XLA
+    program: if the loss is non-finite, every state leaf keeps its old
+    value via a fused select — no sync, donation-safe, and unlike a
+    host-side check it also protects against non-finite *gradients*
+    with a finite loss. `losses["skipped"]` reports the outcome (0/1)."""
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         def loss_fn(params):
@@ -93,13 +104,24 @@ def make_train_step(model, tx, spec: PyramidSpec):
             return losses["total"], (losses, mut)
 
         grads, (losses, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads_ok = jax.tree.reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.asarray(True))
+        ok = jnp.isfinite(losses["total"]) & grads_ok
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        def keep_old(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
         new_state = TrainState(
-            params=params,
-            batch_stats=mut.get("batch_stats", state.batch_stats),
-            opt_state=opt_state,
-            step=state.step + 1)
+            params=keep_old(params, state.params),
+            batch_stats=keep_old(mut.get("batch_stats", state.batch_stats),
+                                 state.batch_stats),
+            opt_state=keep_old(opt_state, state.opt_state),
+            step=state.step + ok.astype(jnp.int32))
+        losses = dict(losses)
+        losses["skipped"] = (~ok).astype(jnp.float32)
         return new_state, losses
 
     return train_step
@@ -206,8 +228,18 @@ class Trainer:
                          len(train_loader))
 
         step = int(state.step)
-        loss_ema, ema_beta = None, 0.98
-        skipped = 0
+        loss_ema, ema_beta = None, 0.9
+        n_skipped, skipped_acc = 0.0, None
+        # donation hazard mitigation: keep a host snapshot so a step
+        # that fails *after dispatch* (donated buffers already
+        # invalidated) can restore instead of crashing on deleted
+        # buffers. Updated for free at every validation/save (which
+        # device_gets anyway) — a failure costs at most one
+        # inter-validation span of progress; trace-time failures (no
+        # dispatch yet) continue from the live state as the reference
+        # does (trainer.py:137-149).
+        host_snapshot = jax.device_get(state)
+        snapshot_step = step
         t_start = time.time()
         epoch = 0
         while step < total_iter:
@@ -216,26 +248,37 @@ class Trainer:
                 if step >= total_iter:
                     break
                 try:
-                    # step-level resilience (reference trainer.py:145-149):
-                    # a failing step is logged and skipped, training
-                    # continues from the previous state
                     new_state, losses = train_step(state, batch)
                 except Exception:  # noqa: BLE001
-                    self.logger.exception("step %d raised; skipping batch", step)
-                    step += 1
-                    skipped += 1
+                    leaf = jax.tree.leaves(state.params)[0]
+                    if getattr(leaf, "is_deleted", lambda: False)():
+                        self.logger.exception(
+                            "step %d raised after dispatch (donated buffers "
+                            "gone); restoring snapshot from step %d",
+                            step, snapshot_step)
+                        state = jax.device_put(host_snapshot)
+                        step = snapshot_step
+                    else:
+                        self.logger.exception(
+                            "step %d raised before dispatch; skipping batch",
+                            step)
+                        step += 1
                     continue
                 state = new_state
                 step += 1
+                # lazy device-side accumulation — no sync here
+                skipped_acc = losses["skipped"] if skipped_acc is None \
+                    else skipped_acc + losses["skipped"]
 
-                total = float(losses["total"])
-                if not np.isfinite(total):
-                    skipped += 1  # reference skips/reports non-finite losses
-                    self.logger.warning("step %d: non-finite loss, continuing", step)
-                else:
-                    loss_ema = total if loss_ema is None else \
-                        ema_beta * loss_ema + (1 - ema_beta) * total
+                # losses stay on device; materializing every step would
+                # serialize dispatch (one blocking sync per step) and
+                # defeat device_prefetch. Sync only at the log cadence.
                 if step % 50 == 0:
+                    total = float(losses["total"])
+                    n_skipped = float(skipped_acc)
+                    if np.isfinite(total):
+                        loss_ema = total if loss_ema is None else \
+                            ema_beta * loss_ema + (1 - ema_beta) * total
                     rate = step / max(time.time() - t_start, 1e-9)
                     self.logger.info(
                         "step %d/%d | loss %.4f (ema %.4f) | %.2f it/s | eta %s",
@@ -248,14 +291,18 @@ class Trainer:
                     self.train_writer.flush()
                 if step % validate_every == 0:
                     score = self._validate(eval_step, state, val_loader, step=step)
-                    self.saver.save(step, jax.device_get(state), score=score)
+                    host_snapshot = jax.device_get(state)
+                    snapshot_step = step
+                    self.saver.save(step, host_snapshot, score=score)
             epoch += 1
 
         score = self._validate(eval_step, state, val_loader, step=step)
         self.saver.save(step, jax.device_get(state), score=score)
         self.saver.wait()
+        if skipped_acc is not None:
+            n_skipped = float(skipped_acc)
         self.logger.info("done: %d steps, %d skipped, best score %.4f @ %s",
-                         step, skipped, self.saver.best_score,
+                         step, int(n_skipped), self.saver.best_score,
                          self.saver.best_step)
         return state
 

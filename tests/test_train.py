@@ -93,6 +93,120 @@ def test_multichip_train_step(setup):
     assert len(p0.sharding.device_set) in (1, 8)
 
 
+def test_poisoned_batch_skipped_in_graph(setup):
+    """A batch that yields a non-finite loss must leave params,
+    opt_state, and the step counter untouched (the skip happens inside
+    the XLA program — sound under buffer donation), and training must
+    proceed normally on the next good batch."""
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    step = make_train_step(model, tx, SPEC)
+
+    state, losses = step(state, batch)
+    assert float(losses["skipped"]) == 0.0
+    params_before = jax.device_get(state.params)
+
+    poisoned = dict(batch)
+    poisoned["src_xyz"] = np.asarray(batch["src_xyz"]).copy()
+    poisoned["src_xyz"][:, 0, :] = np.nan
+    state, losses = step(state, poisoned)
+    assert float(losses["skipped"]) == 1.0
+    assert int(state.step) == 1  # poisoned step not counted
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state, losses = step(state, batch)  # recovery
+    assert float(losses["skipped"]) == 0.0
+    assert np.isfinite(float(losses["total"]))
+    assert int(state.step) == 2
+
+
+def test_fit_survives_midtrain_exception(setup, tmp_path, monkeypatch):
+    """Inject a raising train step mid-fit: training must log, recover,
+    and run to completion (reference trainer.py:137-149 semantics)."""
+    from fgfusion_tpu.train import trainer as trainer_mod
+    from fgfusion_tpu.train.trainer import Trainer
+
+    model, tx, fresh_state, batch = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(optimizer="AdamW", base_lr=1e-3, weight_decay=1e-4,
+               grad_clip=0.1, scheduler="step", scheduler_param=[100000, 0.5],
+               reg_success_thresh_rot=10, reg_success_thresh_trans=0.1)
+
+    calls = {"n": 0}
+    real_make = trainer_mod.make_train_step
+
+    def flaky_make(model, tx, spec):
+        real_step = real_make(model, tx, spec)
+
+        def step(state, b):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("injected mid-train failure")
+            return real_step(state, b)
+
+        return step
+
+    monkeypatch.setattr(trainer_mod, "make_train_step", flaky_make)
+
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+
+    class Loader:
+        def __init__(self, n):
+            self.batches = [np_batch] * n
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    trainer = Trainer(cfg, str(tmp_path / "run"), niter=6,
+                      nb_sanity_val_steps=0)
+    state = trainer.fit(model, SPEC, Loader(6), Loader(1))
+    assert calls["n"] >= 6  # the failed call was retried with a new batch
+    assert int(state.step) >= 5  # one batch lost, rest trained
+
+
+def test_loader_num_workers_deterministic(rng):
+    """num_workers parallelism must not change the produced batches."""
+    from fgfusion_tpu.data.loader import DataLoader
+    from fgfusion_tpu.geometry import se3_np
+
+    class RandomPairDataset:
+        def __init__(self, n_items):
+            self.n = n_items
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, idx, rng=None):
+            rng = rng or np.random.default_rng(idx)
+            src = rng.normal(size=(80, 3)).astype(np.float32)
+            pose = se3_np.sample_pose_small(rng, std=0.2)
+            return {"src_xyz": src,
+                    "tgt_xyz": se3_np.se3_transform(pose, src),
+                    "pose": pose,
+                    "src_overlap": np.ones(80, bool),
+                    "tgt_overlap": np.ones(80, bool),
+                    "idx": np.int32(idx)}
+
+    ds = RandomPairDataset(n_items=7)
+    batches = {}
+    for nw in (1, 4):
+        dl = DataLoader(ds, batch_size=2, point_capacity=64, shuffle=True,
+                        seed=3, num_workers=nw)
+        batches[nw] = list(dl)
+    assert len(batches[1]) == len(batches[4]) == 4
+    for a, b in zip(batches[1], batches[4]):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_trainer_put_sharding(setup, tmp_path):
     """Batch entries divisible by the device count shard on 'data';
     others replicate."""
