@@ -24,9 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.paged_gather import paged_gather
 from .kernel_points import load_kernel_points
 from .norm import MaskedInstanceNorm
 from .res2net import Res2NetFusion, torch_linear_init
+
+# Use the paged one-hot MXU gather only when the gathered row is thin:
+# its cost is rows x page-window x D x 3 bf16 passes, so it beats the
+# latency-bound XLA gather (~constant cost per row) only for small D.
+# D = 3 coords + Cin; the level-0 `simple` conv (Cin = in_feats_dim,
+# typically 1) is the measured win (STATUS.md round-2 lever (a)).
+PAGED_GATHER_MAX_D = 8
 
 
 def batched_gather(values: jax.Array, idx: jax.Array, fill) -> jax.Array:
@@ -135,10 +143,13 @@ class KPConvOp(nn.Module):
                 minval=-bound, maxval=bound),
         )
 
-    def __call__(self, q_pts, s_pts, neighb_idx, x, influence=None):
+    def __call__(self, q_pts, s_pts, neighb_idx, x, influence=None,
+                 pages=None):
         """q_pts (C,Nq,3), s_pts (C,Ns,3), neighb_idx (C,Nq,K),
         x (C,Ns,Cin) -> (C,Nq,Cout). `influence` (C,Nq,P,K), if given,
-        skips the per-block geometry (shared-per-level fast path)."""
+        skips the per-block geometry (shared-per-level fast path).
+        `pages` (C,T,P_max), if given, serves the fused coords+features
+        gather from the paged one-hot MXU kernel (bit-exact)."""
         cdt = jnp.dtype(self.compute_dtype)
 
         valid = None
@@ -164,9 +175,16 @@ class KPConvOp(nn.Module):
                 [s_pts, x.astype(jnp.float32)], axis=-1)        # (C,Ns,3+Cin)
             c, ns = both.shape[0], both.shape[1]
             nq, k = neighb_idx.shape[1], neighb_idx.shape[2]
-            safe = jnp.clip(neighb_idx, 0, ns - 1).reshape(c, nq * k, 1)
-            nb = jnp.take_along_axis(both, safe, axis=1).reshape(
-                c, nq, k, both.shape[-1])                       # (C,Nq,K,3+Cin)
+            if pages is not None:
+                # paged one-hot MXU gather (sentinel rows come out
+                # zero; influence masking below handles them the same
+                # way it handles the raw clipped gather's garbage)
+                nb = paged_gather(both, neighb_idx, pages,
+                                  tile_q=nq // pages.shape[1])
+            else:
+                safe = jnp.clip(neighb_idx, 0, ns - 1).reshape(c, nq * k, 1)
+                nb = jnp.take_along_axis(both, safe, axis=1).reshape(
+                    c, nq, k, both.shape[-1])                   # (C,Nq,K,3+Cin)
             nb_pts = nb[..., :3]
             nb_x = nb[..., 3:].astype(cdt)
 
@@ -252,13 +270,15 @@ class SimpleBlock(nn.Module):
         extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
         q, s, idx, mask = _select_level_io(self.block_name, self.layer_ind, meta)
         infl = _select_influence(self.block_name, self.layer_ind, meta)
+        pages = _select_pages(self.block_name, self.layer_ind, meta,
+                              3 + self.in_dim)
         x = KPConvOp(
             num_kernel_points=cfg["num_kernel_points"], in_dim=self.in_dim,
             out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
             compute_dtype=cfg.get("compute_dtype", "float32"),
-            name="kpconv")(q, s, idx, x, influence=infl)
+            name="kpconv")(q, s, idx, x, influence=infl, pages=pages)
         x = MaskedInstanceNorm(name="norm")(x, mask)
         return nn.leaky_relu(x, 0.1)
 
@@ -288,6 +308,8 @@ class ResnetBottleneckBlock(nn.Module):
         mask_pre = meta["masks"][self.layer_ind]
         q, s, idx, mask_post = _select_level_io(self.block_name, self.layer_ind, meta)
         infl = _select_influence(self.block_name, self.layer_ind, meta)
+        pages = _select_pages(self.block_name, self.layer_ind, meta,
+                              3 + self.out_dim // 4)
 
         h = x
         if self.in_dim != self.out_dim // 4:
@@ -299,7 +321,7 @@ class ResnetBottleneckBlock(nn.Module):
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
             compute_dtype=cfg.get("compute_dtype", "float32"),
-            name="kpconv")(q, s, idx, h, influence=infl)
+            name="kpconv")(q, s, idx, h, influence=infl, pages=pages)
         h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)
         h = Res2NetFusion(self.out_dim // 4, self.out_dim, base_width=14, scale=8,
                           name="res2net")(h, mask_post, train=train)
@@ -310,6 +332,15 @@ class ResnetBottleneckBlock(nn.Module):
             shortcut = UnaryBlock(self.out_dim, no_relu=True,
                                   name="unary_shortcut")(shortcut, mask_post)
         return nn.leaky_relu(h + shortcut, 0.1)
+
+
+def _select_pages(block_name: str, layer_ind: int, meta, d: int):
+    """Per-level page table for the paged one-hot gather — only for
+    non-strided conv tables (pools have different query sets) and only
+    when the gathered row is thin enough for the MXU path to win."""
+    if "strided" in block_name or d > PAGED_GATHER_MAX_D:
+        return None
+    return meta.get("pages", {}).get(layer_ind)
 
 
 def _select_influence(block_name: str, layer_ind: int, meta):

@@ -244,6 +244,11 @@ class RegTR(nn.Module):
             # (levels>=1, 2B); compare against spec.capacities[1:]
             "n_voxels": jnp.stack(meta["n_voxels"]) if meta["n_voxels"]
                         else jnp.zeros((0, 2 * b), jnp.int32),
+            # paged-gather page-list truncation counters (must stay 0;
+            # see ops/paged_gather.py)
+            "n_page_overflow": (jnp.stack(meta["n_page_overflow"])
+                                if meta.get("n_page_overflow")
+                                else jnp.zeros((0, 2 * b), jnp.int32)),
         }
 
     # ------------------------------------------------------------------
@@ -261,6 +266,10 @@ class RegTR(nn.Module):
         overlaps0 = jnp.concatenate([batch["src_overlap"], batch["tgt_overlap"]],
                                     axis=0).astype(jnp.float32)
         meta = build_pyramid(points, masks, spec)
+        if "order" in meta:
+            # level 0 was Morton-sorted inside build_pyramid; the
+            # per-point GT overlap labels must follow the same order
+            overlaps0 = jnp.take_along_axis(overlaps0, meta["order"], axis=1)
         overlap_pyr = compute_overlaps(overlaps0, meta)
         ov_c = overlap_pyr[-1]                         # (2B, Nc)
         src_ov_c, tgt_ov_c = ov_c[:b], ov_c[b:]

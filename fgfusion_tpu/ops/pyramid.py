@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from .neighbors import radius_knn
+from .paged_gather import build_page_table
+from .sorting import sort_cloud
 from .voxel import grid_subsample
 
 
@@ -45,6 +47,12 @@ class PyramidSpec:
     capacities: Tuple[int, ...]  # per-level point capacity; [0] = input
     approx_knn: bool = False     # TPU-fast approximate neighbor search
     knn_chunk: int = 2048        # query tile for the tiled distance search
+    spatial_sort: bool = False   # Morton-sort level 0 (levels >= 1 are
+                                 # voxel-lex-sorted by grid_subsample);
+                                 # required for effective paged gathers
+    paged_p_max: Tuple[int, ...] = ()  # per-level page-list capacity for
+                                 # the paged one-hot gather (0 = no page
+                                 # table at that level; () disables)
     need_upsamples: bool = False  # upsample tables feed only the
                                   # decoder, which RegTR never uses
                                   # (finegrained_kpconv.py:99-100);
@@ -61,6 +69,8 @@ class PyramidSpec:
             neighborhood_limits=tuple(cfg["neighborhood_limits"]),
             capacities=tuple(capacities),
             approx_knn=bool(cfg.get("approx_knn", False)),
+            spatial_sort=bool(cfg.get("spatial_sort", False)),
+            paged_p_max=tuple(cfg.get("paged_p_max", ())),
         )
 
     @property
@@ -107,7 +117,12 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
 
     Returns dict of per-level lists (see module docstring) plus
     'n_voxels': list of (C,) occupancy counts for levels >= 1 (overflow
-    detection: compare against spec.capacities[l]).
+    detection: compare against spec.capacities[l]). With
+    spec.spatial_sort, level 0 is Morton-sorted and 'order' holds the
+    (C, N0) permutation (callers indexing per-point level-0 data, e.g.
+    GT overlap labels, must apply it). With spec.paged_p_max, 'pages'
+    maps level -> per-tile page lists for the paged one-hot gather and
+    'n_page_overflow' lists the (C,) truncated-tile counters.
     """
     assert points.shape[1] == spec.capacities[0], (
         f"level-0 capacity mismatch: {points.shape[1]} vs {spec.capacities[0]}")
@@ -126,6 +141,15 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
         "upsamples": [],
         "n_voxels": [],
     }
+    if spec.spatial_sort:
+        points, mask, order = jax.vmap(sort_cloud)(points, mask)
+        out["points"][0], out["masks"][0] = points, mask
+        out["order"] = order
+    if spec.paged_p_max:
+        assert len(spec.paged_p_max) == num_levels, (
+            f"paged_p_max {spec.paged_p_max} needs one entry per level")
+        out["pages"] = {}
+        out["n_page_overflow"] = []
 
     knn_b = jax.vmap(
         lambda q, qm, s, sm, radius, k: radius_knn(
@@ -144,6 +168,15 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
             # pooling-only level (reference emits an empty table here)
             conv_i = jnp.full(cur_pts.shape[:2] + (k,), cur_pts.shape[1], jnp.int32)
         out["neighbors"].append(conv_i)
+
+        if spec.paged_p_max and spec.paged_p_max[level] > 0 and blocks:
+            nq = conv_i.shape[1]
+            tile_q = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1)
+                          if nq % t == 0)
+            pages, n_over = build_page_table(
+                conv_i, cur_pts.shape[1], tile_q, int(spec.paged_p_max[level]))
+            out["pages"][level] = pages
+            out["n_page_overflow"].append(n_over)
 
         if strided:
             cell = 2.0 * r_normal / spec.conv_radius
