@@ -68,12 +68,62 @@ def optimize_kernel_points(num_points: int, fixed: str = "center",
     return pts.astype(np.float32)
 
 
+def spherical_lloyd(num_cells: int, fixed: str = "center", seed: int = 0,
+                    approx_n: int = 5000, max_iter: int = 500,
+                    momentum: float = 0.9) -> np.ndarray:
+    """Monte-Carlo Lloyd relaxation of num_cells sites in the unit ball.
+
+    Used for dispositions with K > 30 where the pairwise repulsion
+    optimizer converges poorly (reference load_kernels dispatch,
+    kernel_points.py:395-396; algorithm kernel_points.py:235-330):
+    each iteration samples points uniformly in the ball, assigns them
+    to the nearest site (Voronoi), and moves every non-fixed site
+    toward its cell centroid with momentum. Unlike the repulsion
+    disposition there is NO 0.66 rescale — Lloyd cells tile the whole
+    ball (reference scales by radius directly).
+    """
+    rng = np.random.default_rng(seed)
+
+    # init: uniform in the outer shell (reference draws in the 0.9-1.0
+    # radius shell so initial sites spread over the boundary)
+    sites = np.empty((0, 3))
+    while sites.shape[0] < num_cells:
+        cand = rng.uniform(-1.0, 1.0, size=(4 * num_cells, 3))
+        d2 = np.sum(cand ** 2, axis=1)
+        sites = np.vstack([sites, cand[(d2 < 1.0) & (d2 > 0.81)]])
+    sites = sites[:num_cells].copy()
+    n_fixed = 0
+    if fixed == "center":
+        sites[0] = 0.0
+        n_fixed = 1
+    elif fixed == "verticals":
+        sites[:3] = 0.0
+        sites[1, 2] = 2.0 / 3.0
+        sites[2, 2] = -2.0 / 3.0
+        n_fixed = 3
+
+    for _ in range(max_iter):
+        x = rng.uniform(-1.0, 1.0, size=(2 * approx_n, 3))
+        x = x[np.sum(x ** 2, axis=1) < 1.0][:approx_n]
+        # nearest site per sample
+        d2 = np.sum((x[:, None, :] - sites[None]) ** 2, axis=-1)
+        owner = np.argmin(d2, axis=1)
+        for c in range(n_fixed, num_cells):
+            cell = x[owner == c]
+            if len(cell):
+                sites[c] = momentum * sites[c] + (1 - momentum) * cell.mean(0)
+    return sites.astype(np.float32)
+
+
 def _cached_disposition(num_points: int, fixed: str) -> np.ndarray:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"k_{num_points:03d}_{fixed}_3d.npy")
     if os.path.exists(path):
         return np.load(path)
-    pts = optimize_kernel_points(num_points, fixed=fixed)
+    if num_points > 30:  # reference dispatch (kernel_points.py:395-396)
+        pts = spherical_lloyd(num_points, fixed=fixed)
+    else:
+        pts = optimize_kernel_points(num_points, fixed=fixed)
     np.save(path, pts)
     return pts
 

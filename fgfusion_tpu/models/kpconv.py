@@ -109,11 +109,18 @@ def kpconv_influence(q_pts, s_pts, neighb_idx, kernel_pts, extent,
 
 
 class KPConvOp(nn.Module):
-    """Rigid kernel-point convolution.
+    """Kernel-point convolution: rigid, deformable, and modulated.
 
-    Deformable/modulated variants are intentionally not implemented:
-    no reference config enables them (conf/*.yaml: modulated: False,
-    no 'deformable' blocks in any architecture)."""
+    Deformable path (reference finegrained_kpconv_blocks.py:267-343):
+    a rigid offset KPConv predicts per-query kernel-point offsets
+    (plus sigmoid modulations when `modulated`); influence distances
+    are taken against the deformed dispositions, and neighbors outside
+    KP_extent of every deformed kernel point are dropped from both the
+    sum and the density count (the reference implements the drop as a
+    dynamic re-gather — here it is a static mask, numerically the
+    same). `min_d2` and the deformed dispositions are sown into the
+    'intermediates' collection (the reference keeps them as module
+    attributes for an external regularizer it never defines)."""
 
     num_kernel_points: int
     in_dim: int
@@ -123,6 +130,8 @@ class KPConvOp(nn.Module):
     fixed_kernel_points: str = "center"
     influence: str = "linear"
     aggregation: str = "sum"
+    deformable: bool = False
+    modulated: bool = False
     kp_seed: int = 0
     compute_dtype: str = "float32"   # 'bfloat16' halves HBM traffic on
                                      # the two big contractions; the
@@ -142,6 +151,21 @@ class KPConvOp(nn.Module):
                 key, (self.num_kernel_points, self.in_dim, self.out_dim),
                 minval=-bound, maxval=bound),
         )
+        if self.deformable:
+            # rigid offset conv + zero-init bias
+            # (finegrained_kpconv_blocks.py:215-230)
+            p3 = 3 if not self.modulated else 4
+            self.offset_conv = KPConvOp(
+                num_kernel_points=self.num_kernel_points,
+                in_dim=self.in_dim,
+                out_dim=p3 * self.num_kernel_points,
+                extent=self.extent, radius=self.radius,
+                fixed_kernel_points=self.fixed_kernel_points,
+                influence=self.influence, aggregation=self.aggregation,
+                compute_dtype=self.compute_dtype, name="offset_conv")
+            self.offset_bias = self.param(
+                "offset_bias", nn.initializers.zeros,
+                (p3 * self.num_kernel_points,))
 
     def __call__(self, q_pts, s_pts, neighb_idx, x, influence=None,
                  pages=None):
@@ -153,7 +177,10 @@ class KPConvOp(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
 
         valid = None
+        modulations = None
         if influence is not None:
+            assert not self.deformable, (
+                "shared-influence fast path is rigid-only")
             w = influence
             nb_x = batched_gather(x.astype(cdt), neighb_idx, 0.0)
         else:
@@ -190,10 +217,37 @@ class KPConvOp(nn.Module):
 
             rel = nb_pts - q_pts[:, :, None, :]
             rel2 = jnp.sum(rel * rel, axis=-1)                  # (C,Nq,K)
-            kp2 = jnp.sum(self.kernel_pts * self.kernel_pts, axis=-1)
-            cross = jnp.einsum("cnkx,px->cnkp", rel, self.kernel_pts,
-                               precision=jax.lax.Precision.HIGHEST)
-            d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)
+            if self.deformable:
+                # per-query deformed dispositions from the rigid
+                # offset conv (blocks.py:270-290)
+                p = self.num_kernel_points
+                off = self.offset_conv(q_pts, s_pts, neighb_idx, x,
+                                       pages=pages) + self.offset_bias
+                unscaled = off[..., :3 * p].reshape(
+                    off.shape[0], off.shape[1], p, 3)
+                kp_def = self.kernel_pts + unscaled * self.extent  # (C,Nq,P,3)
+                modulations = (2.0 * jax.nn.sigmoid(off[..., 3 * p:])
+                               if self.modulated else None)
+                kp2 = jnp.sum(kp_def * kp_def, axis=-1)          # (C,Nq,P)
+                cross = jnp.einsum("cnkx,cnpx->cnkp", rel, kp_def,
+                                   precision=jax.lax.Precision.HIGHEST)
+                d2 = jnp.maximum(
+                    rel2[..., None] - 2.0 * cross + kp2[:, :, None, :], 0.0)
+                # kept by the reference for an (undefined) external
+                # regularizer (blocks.py:205-207, 322-325)
+                self.sow("intermediates", "min_d2", jnp.min(d2, axis=2))
+                self.sow("intermediates", "deformed_kp", kp_def)
+                # drop neighbors outside every deformed kernel point's
+                # extent from the sum AND the density count — the
+                # reference's dynamic re-gather (blocks.py:327-343) as
+                # a static mask
+                in_range = jnp.any(d2 < self.extent ** 2, axis=-1)
+                valid = jnp.logical_and(valid, in_range)
+            else:
+                kp2 = jnp.sum(self.kernel_pts * self.kernel_pts, axis=-1)
+                cross = jnp.einsum("cnkx,px->cnkp", rel, self.kernel_pts,
+                                   precision=jax.lax.Precision.HIGHEST)
+                d2 = jnp.maximum(rel2[..., None] - 2.0 * cross + kp2, 0.0)
 
             if self.influence == "linear":
                 w = jnp.clip(1.0 - jnp.sqrt(d2) / self.extent, 0.0, None)
@@ -215,6 +269,10 @@ class KPConvOp(nn.Module):
 
         weighted = jnp.einsum("cnpk,cnkd->cnpd", w.astype(cdt), nb_x,
                               preferred_element_type=jnp.float32)
+        if modulations is not None:
+            # modulations scale per (query, kernel point)
+            # (blocks.py:384-385)
+            weighted = weighted * modulations[..., None]
         out = jnp.einsum("cnpd,pde->cne", weighted.astype(cdt),
                          self.weights.astype(cdt),
                          preferred_element_type=jnp.float32)
@@ -277,6 +335,8 @@ class SimpleBlock(nn.Module):
             out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            deformable="deformable" in self.block_name,
+            modulated=cfg.get("modulated", False),
             compute_dtype=cfg.get("compute_dtype", "float32"),
             name="kpconv")(q, s, idx, x, influence=infl, pages=pages)
         x = MaskedInstanceNorm(name="norm")(x, mask)
@@ -320,6 +380,8 @@ class ResnetBottleneckBlock(nn.Module):
             out_dim=self.out_dim // 4, extent=extent, radius=self.radius,
             fixed_kernel_points=cfg["fixed_kernel_points"],
             influence=cfg["KP_influence"], aggregation=cfg["aggregation_mode"],
+            deformable="deformable" in self.block_name,
+            modulated=cfg.get("modulated", False),
             compute_dtype=cfg.get("compute_dtype", "float32"),
             name="kpconv")(q, s, idx, h, influence=infl, pages=pages)
         h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)

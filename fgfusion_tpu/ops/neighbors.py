@@ -65,13 +65,13 @@ def radius_knn(
     nq, ns = queries.shape[0], supports.shape[0]
     sentinel = jnp.int32(ns)
 
-    nq_pad = _round_up(max(nq, 1), chunk)
-    q_padded = jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
-    qm_padded = jnp.pad(q_mask, (0, nq_pad - nq))
-
+    # Invalid supports are excluded through the (Ns,) norm vector — a
+    # huge additive term makes their d2 dominate everything real — NOT
+    # through a (chunk, Ns)-wide where: that select is a full extra HBM
+    # round trip over the distance tiles (same trap as the gather
+    # select fusions, DESIGN.md §10 step 3).
     s_norm2 = jnp.sum(supports * supports, axis=-1)  # (Ns,)
-    inf = jnp.float32(jnp.inf)
-    s_invalid = ~s_mask
+    s_norm2 = jnp.where(s_mask, s_norm2, jnp.float32(1e18))
 
     def one_chunk(args):
         q, qm = args  # (chunk, 3), (chunk,)
@@ -81,8 +81,6 @@ def radius_knn(
         # misclassifies points near the radius boundary.
         cross = jnp.matmul(q, supports.T, precision=jax.lax.Precision.HIGHEST)
         d2 = q_norm2 - 2.0 * cross + s_norm2[None, :]
-        d2 = jnp.maximum(d2, 0.0)
-        d2 = jnp.where(s_invalid[None, :], inf, d2)
         if approx:
             neg, idx = jax.lax.approx_max_k(-d2, k)
         else:
@@ -91,6 +89,13 @@ def radius_knn(
         within = (d2_k < radius * radius) & qm[:, None]
         return jnp.where(within, idx.astype(jnp.int32), sentinel)
 
+    if nq <= chunk:
+        # single tile: no lax.map (a while loop serializing dispatch)
+        return one_chunk((queries, q_mask))
+
+    nq_pad = _round_up(nq, chunk)
+    q_padded = jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
+    qm_padded = jnp.pad(q_mask, (0, nq_pad - nq))
     chunks = (
         q_padded.reshape(nq_pad // chunk, chunk, 3),
         qm_padded.reshape(nq_pad // chunk, chunk),

@@ -45,6 +45,9 @@ class PyramidSpec:
     conv_radius: float
     neighborhood_limits: Tuple[int, ...]
     capacities: Tuple[int, ...]  # per-level point capacity; [0] = input
+    deform_radius: float = 5.0   # search-radius multiplier for levels
+                                 # with deformable blocks (reference
+                                 # finegrained_kpconv.py:472-499)
     approx_knn: bool = False     # TPU-fast approximate neighbor search
     knn_chunk: int = 2048        # query tile for the tiled distance search
     spatial_sort: bool = False   # Morton-sort level 0 (levels >= 1 are
@@ -68,6 +71,7 @@ class PyramidSpec:
             conv_radius=float(cfg["conv_radius"]),
             neighborhood_limits=tuple(cfg["neighborhood_limits"]),
             capacities=tuple(capacities),
+            deform_radius=float(cfg.get("deform_radius", 5.0)),
             approx_knn=bool(cfg.get("approx_knn", False)),
             spatial_sort=bool(cfg.get("spatial_sort", False)),
             paged_p_max=tuple(cfg.get("paged_p_max", ())),
@@ -88,21 +92,37 @@ class PyramidSpec:
         return [r * (2.0 ** l) for l in range(self.num_levels)]
 
 
+def scale_spec(spec: PyramidSpec, n0: int) -> PyramidSpec:
+    """Re-bucket a spec to level-0 capacity n0, scaling the deeper
+    capacities proportionally (rounded up to 64). Used by the
+    multi-bucket eval path: the reference evaluates full-size test
+    clouds (its training-only 30k cap is data_loaders/transforms.py:98;
+    PreprocessorGPU handles any N at test,
+    finegrained_kpconv.py:431-542), so test pairs pick the smallest
+    bucket that fits instead of being subsampled to one static size."""
+    if n0 == spec.capacities[0]:
+        return spec
+    ratio = n0 / spec.capacities[0]
+    caps = [n0] + [max(64, (int(c * ratio) + 63) // 64 * 64)
+                   for c in spec.capacities[1:]]
+    return dataclasses.replace(spec, capacities=tuple(caps))
+
+
 def _grouped_levels(architecture: Sequence[str]):
     """Split the architecture into per-level block groups, mirroring the
     grouping loop at finegrained_kpconv.py:455-532. Returns a list of
-    (blocks_in_level, ends_with_strided)."""
+    (blocks_in_level, strided_block_name_or_None)."""
     groups = []
     current: List[str] = []
     for block in architecture:
         if "global" in block or "upsample" in block:
             break
         if "pool" in block or "strided" in block:
-            groups.append((current, True))
+            groups.append((current, block))
             current = []
         else:
             current.append(block)
-    groups.append((current, False))
+    groups.append((current, None))
     return groups
 
 
@@ -163,7 +183,12 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
         k = int(spec.neighborhood_limits[level])
 
         if blocks:
-            conv_i = knn_b(cur_pts, cur_mask, cur_pts, cur_mask, r_normal, k)
+            # deformable blocks see a wider neighborhood
+            # (finegrained_kpconv.py:472-473)
+            r_conv = (r_normal * spec.deform_radius / spec.conv_radius
+                      if any("deformable" in blk for blk in blocks)
+                      else r_normal)
+            conv_i = knn_b(cur_pts, cur_mask, cur_pts, cur_mask, r_conv, k)
         else:
             # pooling-only level (reference emits an empty table here)
             conv_i = jnp.full(cur_pts.shape[:2] + (k,), cur_pts.shape[1], jnp.int32)
@@ -182,7 +207,11 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
             cell = 2.0 * r_normal / spec.conv_radius
             cap = int(spec.capacities[level + 1])
             pool_p, pool_m, n_vox = sub_b(cur_pts, cur_mask, cell, cap)
-            pool_i = knn_b(pool_p, pool_m, cur_pts, cur_mask, r_normal, k)
+            # a deformable strided block pools over the wider radius
+            # (finegrained_kpconv.py:498-499)
+            r_pool = (r_normal * spec.deform_radius / spec.conv_radius
+                      if "deformable" in strided else r_normal)
+            pool_i = knn_b(pool_p, pool_m, cur_pts, cur_mask, r_pool, k)
 
             out["points"].append(pool_p)
             out["masks"].append(pool_m)

@@ -320,28 +320,52 @@ class Trainer:
         - modelnet: accumulate RPMNet metrics + dump
           pred_transforms.npy;
         - mcd: write pose.log for evo conversion.
+
+        Bucket ladder (cfg `eval_buckets`, e.g. [16384, 32768]): each
+        pair is padded to the smallest bucket that fits BOTH clouds, so
+        test fragments are never subsampled below their true size (the
+        reference evaluates full clouds — its 30k cap is train-only,
+        transforms.py:98). Each bucket jit-compiles its own program
+        (minutes on this TPU, cached persistently), so buckets are
+        created lazily and only sizes the data actually needs compile.
         """
         import os
         from ..data.buckets import collate_pairs
+        from ..ops.pyramid import scale_spec
 
         cfg = self.cfg
         n0 = spec.capacities[0]
+        buckets = sorted(int(b) for b in cfg.get("eval_buckets", [n0]))
 
-        first = collate_pairs([dataset.__getitem__(0)], n0)
-        state, tx = create_train_state(model, cfg, spec, self._put(first),
+        first = collate_pairs([dataset.__getitem__(0)], buckets[0])
+        spec0 = scale_spec(spec, buckets[0])
+        state, tx = create_train_state(model, cfg, spec0, self._put(first),
                                        abstract=True)
         saver = CheckpointManager(resume)
         state, step0 = saver.load(state, best=True)
         self.logger.info("testing with checkpoint step %d", step0)
-        eval_step = make_eval_step(model, spec)
+
+        eval_steps: Dict[int, Any] = {}
+
+        def step_for(n_points: int):
+            b = next((bb for bb in buckets if bb >= n_points), buckets[-1])
+            if b not in eval_steps:
+                self.logger.info("eval bucket %d: compiling", b)
+                eval_steps[b] = make_eval_step(model, scale_spec(spec, b))
+            return b, eval_steps[b]
 
         stats = StatsMeter()
         modelnet_metrics = []
         modelnet_poses = []
+        n_subsampled = 0
         t0 = time.time()
         for idx in range(len(dataset)):
             sample = dataset.__getitem__(idx)
-            batch = collate_pairs([sample], n0)
+            n_need = max(len(sample["src_xyz"]), len(sample["tgt_xyz"]))
+            bucket, eval_step = step_for(n_need)
+            if n_need > bucket:
+                n_subsampled += 1
+            batch = collate_pairs([sample], bucket)
             pred, losses, metrics = eval_step(state, self._put(batch))
             stats.update_dict({k: float(v) for k, v in losses.items()})
             rot = np.asarray(metrics["rot_deg"])
@@ -383,8 +407,15 @@ class Trainer:
 
         avgs = stats.avgs()
         self.logger.info(metrics_to_string(avgs, "[test] "))
+        if n_subsampled:
+            self.logger.warning(
+                "%d/%d pairs exceeded the largest eval bucket (%d) and "
+                "were subsampled — add a larger bucket to eval_buckets "
+                "for full protocol fidelity", n_subsampled, len(dataset),
+                buckets[-1])
         results: Dict = {"metrics": avgs,
-                         "pairs_per_sec": len(dataset) / (time.time() - t0)}
+                         "pairs_per_sec": len(dataset) / (time.time() - t0),
+                         "n_subsampled": n_subsampled}
 
         if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
             from ..benchmark.benchmark_3dmatch_rr import benchmark

@@ -113,3 +113,76 @@ def test_modelnet_end_to_end(cfg, tmp_path):
     assert os.path.exists(tmp_path / "run" / "pred_transforms.npy")
     poses = np.load(tmp_path / "run" / "pred_transforms.npy")
     assert poses.shape == (len(dataset), 3, 4)
+
+
+class _VariedSizeDataset:
+    """Wraps a dataset, inflating some samples past the base bucket to
+    exercise the eval bucket ladder."""
+
+    def __init__(self, dataset, inflate_idx, n_target):
+        self.dataset = dataset
+        self.inflate_idx = inflate_idx
+        self.n_target = n_target
+
+    def __len__(self):
+        return min(len(self.dataset), 3)
+
+    def __getitem__(self, idx, rng=None):
+        s = dict(self.dataset.__getitem__(idx))
+        if idx == self.inflate_idx:
+            for key in ("src_xyz", "tgt_xyz"):
+                pts = s[key]
+                reps = int(np.ceil(self.n_target / len(pts)))
+                s[key] = (np.tile(pts, (reps, 1))[: self.n_target]
+                          + np.random.default_rng(0).normal(
+                              scale=1e-3, size=(self.n_target, 3))
+                          ).astype(np.float32)
+            for key in ("src_overlap", "tgt_overlap"):
+                if key in s:
+                    ov = np.asarray(s[key])
+                    reps = int(np.ceil(self.n_target / len(ov)))
+                    s[key] = np.tile(ov, reps)[: self.n_target]
+        return s
+
+
+def test_scale_spec_proportional():
+    from fgfusion_tpu.ops.pyramid import scale_spec
+    spec = PyramidSpec(
+        architecture=("simple", "resnetb_strided", "resnetb"),
+        first_subsampling_dl=0.1, conv_radius=2.75,
+        neighborhood_limits=(12, 12), capacities=(512, 128))
+    s2 = scale_spec(spec, 1024)
+    assert s2.capacities == (1024, 256)
+    assert scale_spec(spec, 512) is spec
+
+
+def test_multibucket_eval(cfg, tmp_path):
+    """Pairs exceeding the base bucket pick a larger bucket instead of
+    being subsampled; pairs exceeding the largest bucket are counted."""
+    cfg = Config(dict(cfg))
+    train_loader = get_dataloader(cfg, "train", num_workers=1)
+    val_loader = get_dataloader(cfg, "val", num_workers=1)
+    spec = PyramidSpec.from_config(cfg, cfg["pyramid_capacities"])
+    model = get_model(cfg["model"])(cfg=dict(cfg))
+    trainer = Trainer(cfg, str(tmp_path / "run"), niter=1,
+                      nb_sanity_val_steps=0, validate_every=1)
+    trainer.fit(model, spec, train_loader, val_loader)
+
+    from fgfusion_tpu.data.loader import make_dataset
+    # base samples are 717 points (the Predator resample quirk);
+    # sample 1 is inflated past the 768 bucket
+    dataset = _VariedSizeDataset(make_dataset(cfg, "test"),
+                                 inflate_idx=1, n_target=1000)
+
+    cfg["eval_buckets"] = [768, 1280]
+    results = trainer.test(model, spec, dataset,
+                           resume=str(tmp_path / "run" / "ckpt"),
+                           benchmark_name="ModelNet")
+    assert results["n_subsampled"] == 0
+    assert np.isfinite(results["summary"]["err_r_deg_mean"])
+
+    cfg["eval_buckets"] = [768]
+    results = trainer.test(model, spec, dataset,
+                           resume=str(tmp_path / "run" / "ckpt"),
+                           benchmark_name="ModelNet")
+    assert results["n_subsampled"] == 1
