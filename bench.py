@@ -17,23 +17,10 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 10.0  # directional GPU baseline (BASELINE.md)
 
 
-def main():
-    import os
-    import jax
-    # persistent compilation cache: the first TPU compile of the 12k-pt
-    # program is slow (remote compile); subsequent bench runs reuse it
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from fgfusion_tpu.models import get_model
-    from fgfusion_tpu.ops import PyramidSpec
-    from __graft_entry__ import _make_batch
-
-    # 3DMatch-scale config (conf/3dmatch.yaml schema), bucketed at 12k pts
-    cfg = dict(
+def bench_config():
+    """The benchmark workload's model config (3DMatch-scale,
+    conf/3dmatch.yaml schema). Shared with tools/bench_variants.py."""
+    return dict(
         num_layers=4, neighborhood_limits=[40, 40, 40, 40],
         aggregation_mode="sum", first_subsampling_dl=0.025,
         first_feats_dim=128, fixed_kernel_points="center", in_feats_dim=1,
@@ -55,8 +42,12 @@ def main():
         # bf16+scanned 13.8 — the forward is preprocess/gather-bound,
         # so bf16 matmuls don't pay here; keep the faster variant
     )
-    n0 = 12288
-    spec = PyramidSpec(
+
+
+def bench_spec(n0: int = 12288, **overrides):
+    from fgfusion_tpu.ops import PyramidSpec
+    cfg = bench_config()
+    kw = dict(
         architecture=tuple(cfg["architecture"]),
         first_subsampling_dl=cfg["first_subsampling_dl"],
         conv_radius=cfg["conv_radius"],
@@ -64,6 +55,24 @@ def main():
         capacities=(n0, 4096, 1536, 576),
         approx_knn=True,
     )
+    kw.update(overrides)
+    return PyramidSpec(**kw)
+
+
+def main():
+    import os
+    import jax
+    # persistent compilation cache: the first TPU compile of the 12k-pt
+    # program is slow (remote compile); subsequent bench runs reuse it
+    from fgfusion_tpu.utils.misc import enable_persistent_compile_cache
+    enable_persistent_compile_cache(os.path.dirname(os.path.abspath(__file__)))
+
+    from fgfusion_tpu.models import get_model
+    from __graft_entry__ import _make_batch
+
+    cfg = bench_config()
+    n0 = 12288
+    spec = bench_spec(n0)
     b = 1  # test-time batch size (reference test_batch_size: 1)
 
     model = get_model("finegrained_regtr.RegTR")(cfg=cfg)

@@ -29,12 +29,14 @@ from .kernel_points import load_kernel_points
 from .norm import MaskedInstanceNorm
 from .res2net import Res2NetFusion, torch_linear_init
 
-# Use the paged one-hot MXU gather only when the gathered row is thin:
-# its cost is rows x page-window x D x 3 bf16 passes, so it beats the
-# latency-bound XLA gather (~constant cost per row) only for small D.
-# D = 3 coords + Cin; the level-0 `simple` conv (Cin = in_feats_dim,
-# typically 1) is the measured win (STATUS.md round-2 lever (a)).
-PAGED_GATHER_MAX_D = 8
+# Dispatch ceiling for the paged one-hot MXU gather. MXU lane
+# quantization prices the selection at rows x window x max(D, 128)
+# regardless of how thin the row is, so the kernel loses to XLA's
+# latency-bound gather at every level of the shipped configs (see
+# ops/paged_gather.py's cost-model note) — no shipped config builds
+# page tables, so this path is dormant unless a spec opts in via
+# paged_p_max.
+PAGED_GATHER_MAX_D = 134
 
 
 def batched_gather(values: jax.Array, idx: jax.Array, fill) -> jax.Array:

@@ -17,11 +17,20 @@ kernel fetches ONE page of the support table — chosen by a
 scalar-prefetched per-tile page list, i.e. a data-dependent BlockSpec
 index_map — and accumulates `(idx == page*P + lane) @ page_rows`.
 
-Cost model: rows x (P_MAX * PAGE) x D x passes. Wins where D is small:
-the level-0 `simple` conv gathers coords + a constant-ones feature
-(D = 4), so the paged kernel replaces a ~5.8 ms latency-bound gather
-with ~0.5 ms of MXU work. For fat feature rows (D ~ 131) the XLA
-gather fusion stays faster; see KPConvOp for the dispatch rule.
+Cost model — and why this is NOT wired into the shipped configs: the
+MXU quantizes every matmul dimension to 128 lanes, so the selection
+matmul costs rows x window x max(D, 128) x passes no matter how thin
+the gathered row is. At the 12k bench workload the measured page
+windows are 4-6k rows (tools/band_experiment2.py: L0 p99 = 16 pages
+of 256 even after Morton sorting — the "~500-row band" hypothesis
+from round 1 was wrong for volumetric clouds), which prices the L0
+selection at tens of ms vs XLA's ~5.8 ms latency-bound gather
+(~6 ns/row). The kernel only wins where rows x window is small, i.e.
+the coarsest levels, where the XLA gather is already sub-ms. It is
+kept as a correct, tested building block (and as the measured record
+of why the MXU cannot rescue TPU gathers at these shapes); KPConvOp
+dispatches to it only when a page table is present in the pyramid
+meta, which no shipped config requests.
 
 Exactness: each output row sums exactly one table row (pages are
 distinct, the sentinel's page id Ns>>8 is never listed) plus zeros.

@@ -73,6 +73,7 @@ class PyramidSpec:
             capacities=tuple(capacities),
             deform_radius=float(cfg.get("deform_radius", 5.0)),
             approx_knn=bool(cfg.get("approx_knn", False)),
+            knn_chunk=int(cfg.get("knn_chunk", 2048)),
             spatial_sort=bool(cfg.get("spatial_sort", False)),
             paged_p_max=tuple(cfg.get("paged_p_max", ())),
         )

@@ -17,6 +17,20 @@ from collections import defaultdict
 from typing import Dict
 
 
+def enable_persistent_compile_cache(repo_dir: str | None = None):
+    """Point JAX at the repo's persistent compilation cache. On this
+    TPU, XLA compiles go through a remote relay (minutes per program) —
+    every entry point that touches the device must call this first."""
+    import jax
+    if repo_dir is None:
+        repo_dir = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    cache = os.path.join(repo_dir, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class AverageMeter:
     def __init__(self):
         self.reset()

@@ -32,7 +32,9 @@ def main():
     args = parse_args()
 
     from fgfusion_tpu.utils.config import load_config, save_config
-    from fgfusion_tpu.utils.misc import prepare_logger
+    from fgfusion_tpu.utils.misc import (enable_persistent_compile_cache,
+                                         prepare_logger)
+    enable_persistent_compile_cache()
 
     config_path = args.config
     if config_path is None:

@@ -41,12 +41,21 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--out", default="timings.txt")
+    ap.add_argument("--spatial_sort", action="store_true",
+                    help="Morton-sort level 0 inside the pyramid")
+    ap.add_argument("--paged", default=None,
+                    help="comma-separated per-level page-list capacities "
+                         "for the paged one-hot gather, e.g. 24,0,0,0")
+    ap.add_argument("--knn_chunk", type=int, default=None)
+    ap.add_argument("--exact_knn", action="store_true")
     args = ap.parse_args()
 
     import jax
     from fgfusion_tpu.models import get_model
     from fgfusion_tpu.ops import PyramidSpec
+    from fgfusion_tpu.utils.misc import enable_persistent_compile_cache
     from __graft_entry__ import _make_batch
+    enable_persistent_compile_cache()
 
     from fgfusion_tpu.utils.config import load_config
     cfg = dict(load_config(args.config or "conf/3dmatch.yaml"))
@@ -56,6 +65,17 @@ def main():
         caps = [args.n0] + [max(64, int(c * ratio) // 64 * 64)
                             for c in (caps[1:] if caps else [])]
     spec = PyramidSpec.from_config(cfg, caps)
+    import dataclasses
+    if args.spatial_sort or args.paged:
+        spec = dataclasses.replace(spec, spatial_sort=True)
+    if args.paged:
+        spec = dataclasses.replace(
+            spec, paged_p_max=tuple(int(x) for x in args.paged.split(",")))
+    if args.knn_chunk:
+        spec = dataclasses.replace(spec, knn_chunk=args.knn_chunk)
+    if args.exact_knn:
+        spec = dataclasses.replace(spec, approx_knn=False)
+    print("spec:", spec)
 
     model = get_model(cfg["model"])(cfg=cfg)
     batch = _make_batch(b=args.batch, n0=args.n0)

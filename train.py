@@ -39,7 +39,9 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     from fgfusion_tpu.utils.config import load_config, save_config
-    from fgfusion_tpu.utils.misc import prepare_logger
+    from fgfusion_tpu.utils.misc import (enable_persistent_compile_cache,
+                                         prepare_logger)
+    enable_persistent_compile_cache()
 
     config_path = args.config
     if config_path is None and args.resume:
