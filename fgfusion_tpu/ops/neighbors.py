@@ -30,7 +30,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("radius", "k", "chunk", "approx"))
+                   static_argnames=("radius", "k", "chunk", "approx",
+                                    "fused"))
 def radius_knn(
     queries: jax.Array,
     q_mask: jax.Array,
@@ -41,6 +42,7 @@ def radius_knn(
     k: int,
     chunk: int = 2048,
     approx: bool = False,
+    fused: bool = False,
 ):
     """Nearest-K-within-radius for one padded cloud pair.
 
@@ -64,6 +66,19 @@ def radius_knn(
     """
     nq, ns = queries.shape[0], supports.shape[0]
     sentinel = jnp.int32(ns)
+
+    if approx and fused:
+        from .knn_pallas import knn_candidates, seg_for
+        if ns // seg_for(ns) >= k:
+            s2 = jnp.sum(supports * supports, axis=-1)
+            s2 = jnp.where(s_mask, s2, jnp.float32(1e18))
+            d2_c, idx_c = knn_candidates(queries, supports, s2)
+            neg, a = jax.lax.top_k(-d2_c, k)
+            d2_k = -neg
+            idx = jnp.take_along_axis(idx_c, a, axis=1)
+            within = (d2_k < radius * radius) & q_mask[:, None]
+            return jnp.where(within, idx.astype(jnp.int32), sentinel)
+        # too few candidates for k at this size: fall through
 
     # Invalid supports are excluded through the (Ns,) norm vector — a
     # huge additive term makes their d2 dominate everything real — NOT

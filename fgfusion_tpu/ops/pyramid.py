@@ -49,6 +49,9 @@ class PyramidSpec:
                                  # with deformable blocks (reference
                                  # finegrained_kpconv.py:472-499)
     approx_knn: bool = False     # TPU-fast approximate neighbor search
+    fused_knn: bool = False      # serve approx kNN from the fused
+                                 # Pallas kernel (ops/knn_pallas.py):
+                                 # distance tiles never touch HBM
     knn_chunk: int = 2048        # query tile for the tiled distance search
     spatial_sort: bool = False   # Morton-sort level 0 (levels >= 1 are
                                  # voxel-lex-sorted by grid_subsample);
@@ -73,6 +76,7 @@ class PyramidSpec:
             capacities=tuple(capacities),
             deform_radius=float(cfg.get("deform_radius", 5.0)),
             approx_knn=bool(cfg.get("approx_knn", False)),
+            fused_knn=bool(cfg.get("fused_knn", False)),
             knn_chunk=int(cfg.get("knn_chunk", 2048)),
             spatial_sort=bool(cfg.get("spatial_sort", False)),
             paged_p_max=tuple(cfg.get("paged_p_max", ())),
@@ -175,7 +179,7 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
     knn_b = jax.vmap(
         lambda q, qm, s, sm, radius, k: radius_knn(
             q, qm, s, sm, radius=radius, k=k, approx=spec.approx_knn,
-            chunk=spec.knn_chunk),
+            fused=spec.fused_knn, chunk=spec.knn_chunk),
         in_axes=(0, 0, 0, 0, None, None))
     sub_b = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
 
