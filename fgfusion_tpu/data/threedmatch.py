@@ -32,8 +32,11 @@ def _load_cloud(path: str) -> np.ndarray:
 
 
 class ThreeDMatchDataset:
-    def __init__(self, cfg, phase: str, transforms=None, info_dir: str = "datasets/3dmatch"):
+    def __init__(self, cfg, phase: str, transforms=None,
+                 info_dir: Optional[str] = None):
         assert phase in ("train", "val", "test")
+        if info_dir is None:
+            info_dir = cfg.get("info_dir", "datasets/3dmatch")
         benchmark = cfg.get("benchmark")
         if phase in ("train", "val"):
             info_fname = os.path.join(info_dir, f"{phase}_info.pkl")

@@ -22,6 +22,10 @@ def parse_args():
     p.add_argument("--benchmark", type=str, default="3DMatch",
                    choices=["3DMatch", "3DLoMatch", "ModelNet", "ModelLoNet"])
     p.add_argument("--weight_th", type=float, default=None)
+    p.add_argument("--exact_knn", action="store_true",
+                   help="exact neighbor search (overrides approx_knn)")
+    p.add_argument("--fused_knn", action="store_true",
+                   help="fused Pallas approx kNN (overrides fused_knn)")
     p.add_argument("--logdir", type=str, default="logs")
     p.add_argument("--dev", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
@@ -59,6 +63,10 @@ def main():
 
     if args.weight_th is not None:
         cfg["test_weight_th"] = args.weight_th
+    if args.exact_knn:
+        cfg["approx_knn"] = False
+    if args.fused_knn:
+        cfg["fused_knn"] = True
 
     logger, log_dir = prepare_logger(
         os.path.join(args.logdir, cfg.get("expt_name", "run") + "_eval"),

@@ -31,6 +31,7 @@ VARIANTS = {
     "baseline": {},
     "knn_chunk_4096": dict(knn_chunk=4096),
     "knn_chunk_12288": dict(knn_chunk=12288),
+    "fused_knn": dict(fused_knn=True),
 }
 
 
