@@ -35,6 +35,15 @@ def parse_args():
 def main():
     args = parse_args()
 
+    # FGFUSION_PLATFORM=cpu runs the eval on the host (the env var
+    # JAX_PLATFORMS alone is ignored: sitecustomize registers the axon
+    # TPU plugin at interpreter boot) — lets evals proceed while a
+    # training job owns the TPU tunnel.
+    platform = os.environ.get("FGFUSION_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
     from fgfusion_tpu.utils.config import load_config, save_config
     from fgfusion_tpu.utils.misc import (enable_persistent_compile_cache,
                                          prepare_logger)

@@ -34,6 +34,12 @@ def parse_args():
 def main():
     args = parse_args()
 
+    # FGFUSION_PLATFORM=cpu forces host execution (see test.py)
+    platform = os.environ.get("FGFUSION_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
     if args.debug:
         import jax
         jax.config.update("jax_debug_nans", True)
