@@ -34,7 +34,21 @@ class InferenceEngine:
         self.variables = variables
         self.spec = spec
         self.cfg = cfg
-        self._fwd = jax.jit(partial(self._forward, spec=spec))
+        # bucket ladder (cfg eval_buckets): pairs pad to the smallest
+        # bucket that fits, one lazily-compiled program per bucket —
+        # same policy as Trainer.test
+        self.buckets = sorted(int(b) for b in
+                              cfg.get("eval_buckets", [spec.capacities[0]]))
+        self._fwd = {}
+
+    def _fwd_for(self, n_points: int):
+        from .ops.pyramid import scale_spec
+        b = next((bb for bb in self.buckets if bb >= n_points),
+                 self.buckets[-1])
+        if b not in self._fwd:
+            spec_b = scale_spec(self.spec, b)
+            self._fwd[b] = jax.jit(partial(self._forward, spec=spec_b))
+        return b, self._fwd[b]
 
     def _forward(self, variables, batch, spec):
         return self.model.apply(variables, batch, spec, train=False)
@@ -88,8 +102,10 @@ class InferenceEngine:
         sample = {"src_xyz": np.asarray(src_xyz, np.float32),
                   "tgt_xyz": np.asarray(tgt_xyz, np.float32),
                   "pose": np.eye(4, dtype=np.float32)[:3]}
-        batch = collate_pairs([sample], self.spec.capacities[0], rng)
-        pred = self._fwd(self.variables, batch)
+        bucket, fwd = self._fwd_for(max(len(sample["src_xyz"]),
+                                        len(sample["tgt_xyz"])))
+        batch = collate_pairs([sample], bucket, rng)
+        pred = fwd(self.variables, batch)
 
         pose = np.asarray(pred["pose"])[-1, 0]
         sm = np.asarray(pred["src_mask_c"])[0]
