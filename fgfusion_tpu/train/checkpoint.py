@@ -82,7 +82,27 @@ class CheckpointManager:
                 else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        # A trainer process may be writing new steps concurrently
+        # (async orbax saves); a restore that races a half-written step
+        # directory can fail item validation. Re-open the manager and
+        # retry a few times before giving up.
+        last_err = None
+        for attempt in range(3):
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(state_template))
+                break
+            except Exception as e:  # orbax raises bare ValueError here
+                last_err = e
+                _logger.warning(
+                    "checkpoint restore of step %s failed (%s); retrying",
+                    step, e)
+                import time
+                time.sleep(5.0)
+                self._mgr = ocp.CheckpointManager(
+                    self.save_dir,
+                    options=ocp.CheckpointManagerOptions(create=False))
+        else:
+            raise last_err
         _logger.info("restored checkpoint step %d from %s", step, self.save_dir)
         return restored, int(step)
