@@ -26,31 +26,45 @@ class CheckpointManager:
     def __init__(self, save_dir: str, max_to_keep: int = 6):
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
-        import datetime
+        from orbax.checkpoint.checkpoint_managers import preservation_policy
+        # Keep: the `max_to_keep` most recent, PLUS the best-scoring
+        # checkpoint (so `load(best=True)` can never dangle after
+        # rotation), PLUS a permanent snapshot every 3h (reference
+        # trainer.py:34-35).
+        policy = preservation_policy.AnyPreservationPolicy([
+            preservation_policy.LatestN(n=max_to_keep),
+            preservation_policy.BestN(
+                get_metric_fn=lambda m: m["score"], n=1,
+                keep_checkpoints_without_metrics=False),
+            preservation_policy.EveryNSeconds(interval_secs=3 * 3600),
+        ])
         self._mgr = ocp.CheckpointManager(
             self.save_dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True,
-                # permanent keep every 3h (reference trainer.py:34-35)
-                keep_time_interval=datetime.timedelta(hours=3),
+                create=True,
+                preservation_policy=policy,
                 enable_async_checkpointing=True),
         )
         self._index_path = os.path.join(self.save_dir, "checkpoints.txt")
         self.best_step, self.best_score = self._read_index()
 
     # -- index ----------------------------------------------------------
+    def _read_scores(self) -> dict:
+        scores = {}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        scores[int(parts[0])] = float(parts[1])
+        return scores
+
     def _read_index(self) -> Tuple[Optional[int], float]:
-        if not os.path.exists(self._index_path):
+        scores = self._read_scores()
+        if not scores:
             return None, float("-inf")
-        best_step, best_score = None, float("-inf")
-        with open(self._index_path) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 2:
-                    step, score = int(parts[0]), float(parts[1])
-                    if score > best_score:
-                        best_step, best_score = step, score
-        return best_step, best_score
+        best_step = max(scores, key=scores.get)
+        return best_step, scores[best_step]
 
     def _append_index(self, step: int, score: float):
         with open(self._index_path, "a") as f:
@@ -59,7 +73,8 @@ class CheckpointManager:
     # -- save/load -------------------------------------------------------
     def save(self, step: int, state: Any, score: float = 0.0) -> bool:
         """Returns True if this is the new best checkpoint."""
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics={"score": float(score)})
         self._append_index(step, score)
         is_best = score > self.best_score
         if is_best:
@@ -77,9 +92,21 @@ class CheckpointManager:
         """Restore into the template's structure. step=None picks the
         best (if tracked) else the latest — mirroring the reference's
         directory-resume behaviour (torch_helpers.py:206-212)."""
+        if step is None and best:
+            # Best among the steps that still exist on disk — rotation
+            # (or an older index) may have removed the global best.
+            existing = set(self._mgr.all_steps())
+            scored = [s for s in existing if s in self._read_scores()]
+            if scored:
+                scores = self._read_scores()
+                step = max(scored, key=scores.get)
+                if step != self.best_step:
+                    _logger.warning(
+                        "best checkpoint %s no longer on disk; using best "
+                        "surviving step %d (score %.4f)",
+                        self.best_step, step, scores[step])
         if step is None:
-            step = self.best_step if (best and self.best_step is not None) \
-                else self._mgr.latest_step()
+            step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
         # A trainer process may be writing new steps concurrently

@@ -224,3 +224,23 @@ def test_trainer_put_sharding(setup, tmp_path):
     assert len(out["src_xyz"].sharding.device_set) == 8
     assert not out["src_xyz"].sharding.is_fully_replicated
     assert out["pose"].sharding.is_fully_replicated
+
+
+def test_checkpoint_best_survives_rotation(setup, tmp_path):
+    """Rotation must never delete the best-scoring checkpoint (round-2
+    incident: best@40800 rotated away by LatestN-only keep, leaving
+    checkpoints.txt pointing at a missing step)."""
+    from fgfusion_tpu.train.checkpoint import CheckpointManager
+    model, tx, fresh_state, batch = setup
+    host_state = jax.device_get(fresh_state())
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for step in range(1, 9):
+        score = 0.9 if step == 3 else 0.01 * step
+        mgr.save(step, host_state, score=score)
+    mgr.wait()
+    assert mgr.best_step == 3
+    assert 3 in mgr._mgr.all_steps()
+    restored, step = mgr.load(host_state, best=True)
+    assert step == 3
+    # latest two survive as well
+    assert {7, 8} <= set(mgr._mgr.all_steps())
