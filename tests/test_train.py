@@ -244,3 +244,39 @@ def test_checkpoint_best_survives_rotation(setup, tmp_path):
     assert step == 3
     # latest two survive as well
     assert {7, 8} <= set(mgr._mgr.all_steps())
+
+
+def test_tp_train_step_matches_dp(setup):
+    """Tensor-parallel (data=4, model=2) train step: transformer weights
+    Megatron-split over 'model', GSPMD inserts the psums — and the step
+    must agree numerically with the replicated data-parallel run."""
+    from fgfusion_tpu.parallel import make_mesh_2d, shard_tree, tp_shardings
+
+    model, tx, fresh_state, _ = setup
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, b=8)
+    step = make_train_step(model, tx, SPEC)
+
+    # replicated DP reference
+    mesh1 = make_mesh()
+    state_dp = fresh_state()
+    _, losses_dp = step(state_dp, shard_batch(batch, mesh1))
+
+    # 4x2 TP
+    mesh2 = make_mesh_2d(4, 2)
+    state_tp = shard_tree(fresh_state(), mesh2)
+    # the transformer projections must actually be split
+    sh = tp_shardings(state_tp.params, mesh2)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    split = ["/".join(str(k.key) for k in p) for p, s in flat
+             if any(ax == "model" for ax in s.spec)]
+    assert any("q_proj/kernel" in s for s in split), split[:5]
+    assert any("linear2/kernel" in s for s in split)
+
+    batch_tp = shard_batch(batch, mesh2)
+    new_state, losses_tp = step(state_tp, batch_tp)
+    np.testing.assert_allclose(float(losses_dp["total"]),
+                               float(losses_tp["total"]), rtol=2e-4)
+    # weights stay split after the update
+    q = new_state.params["transformer_encoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
+    assert any(ax == "model" for ax in q.sharding.spec)
