@@ -28,14 +28,24 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--resume", type=str, help="checkpoint dir to resume")
     p.add_argument("--nb_sanity_val_steps", type=int, default=2)
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel size (devices form a "
+                        "(n/tp, tp) data x model mesh; parallel/tp.py)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
 
-    # FGFUSION_PLATFORM=cpu forces host execution (see test.py)
+    # FGFUSION_PLATFORM=cpu forces host execution (see test.py);
+    # FGFUSION_HOST_DEVICES=N adds N virtual host devices (multi-chip
+    # rehearsal without hardware).
     platform = os.environ.get("FGFUSION_PLATFORM")
+    n_host = os.environ.get("FGFUSION_HOST_DEVICES")
+    if n_host:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_host}").strip()
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
@@ -65,6 +75,8 @@ def main():
     cfg = load_config(config_path)
     if args.name:
         cfg["expt_name"] = f"{cfg.get('expt_name', 'run')}_{args.name}"
+    if args.tp is not None:
+        cfg["tp_size"] = args.tp
 
     logger, log_dir = prepare_logger(
         os.path.join(args.logdir, cfg.get("expt_name", "run")), dev=args.dev)
