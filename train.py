@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--resume", type=str, help="checkpoint dir to resume")
     p.add_argument("--nb_sanity_val_steps", type=int, default=2)
+    p.add_argument("--niter", type=int, default=None,
+                   help="override cfg niter (>0 steps, <0 epochs) — "
+                        "e.g. extend a resumed run")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel size (devices form a "
                         "(n/tp, tp) data x model mesh; parallel/tp.py)")
@@ -77,6 +80,8 @@ def main():
         cfg["expt_name"] = f"{cfg.get('expt_name', 'run')}_{args.name}"
     if args.tp is not None:
         cfg["tp_size"] = args.tp
+    if args.niter is not None:
+        cfg["niter"] = args.niter
 
     logger, log_dir = prepare_logger(
         os.path.join(args.logdir, cfg.get("expt_name", "run")), dev=args.dev)
