@@ -177,7 +177,15 @@ class Trainer:
         self.saver = CheckpointManager(f"{log_dir}/ckpt", max_to_keep=6)
         self.rot_th = cfg.get("reg_success_thresh_rot", 10)
         self.trans_th = cfg.get("reg_success_thresh_trans", 0.1)
-        self.mesh = make_mesh()
+        tp = int(cfg.get("tp_size", 1))
+        if tp > 1:
+            from ..parallel.tp import make_mesh_2d
+            n_dev = len(jax.devices())
+            assert n_dev % tp == 0, f"tp_size {tp} !| {n_dev} devices"
+            self.mesh = make_mesh_2d(n_dev // tp, tp)
+        else:
+            self.mesh = make_mesh()
+        self.tp = tp
         del grad_clip  # handled inside the optimizer (scheduler.make_optimizer)
 
     # ------------------------------------------------------------------
@@ -185,12 +193,12 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         rep = replicate_sharding(self.mesh)
         out = {}
+        n_data = self.mesh.shape["data"]
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 continue
-            n_dev = len(self.mesh.devices.flat)
             out[k] = jax.device_put(
-                v, sh if v.shape and v.shape[0] % n_dev == 0 else rep)
+                v, sh if v.shape and v.shape[0] % n_data == 0 else rep)
         return out
 
     # ------------------------------------------------------------------
@@ -199,6 +207,11 @@ class Trainer:
         cfg = self.cfg
         first = next(iter(train_loader))
         state, tx = create_train_state(model, cfg, spec, self._put(first))
+        if self.tp > 1:
+            # Megatron-split the transformer weights over the 'model'
+            # axis (parallel/tp.py); GSPMD handles the collectives.
+            from ..parallel.tp import shard_tree
+            state = shard_tree(state, self.mesh)
         if resume:
             saver = CheckpointManager(resume) if resume != self.saver.save_dir \
                 else self.saver
@@ -240,7 +253,7 @@ class Trainer:
         # does (trainer.py:137-149).
         host_snapshot = jax.device_get(state)
         snapshot_step = step
-        t_start = time.time()
+        step0, t_start = step, time.time()  # rate counts from resume point
         epoch = 0
         while step < total_iter:
             train_loader.set_epoch(epoch)
@@ -279,7 +292,7 @@ class Trainer:
                     if np.isfinite(total):
                         loss_ema = total if loss_ema is None else \
                             ema_beta * loss_ema + (1 - ema_beta) * total
-                    rate = step / max(time.time() - t_start, 1e-9)
+                    rate = (step - step0) / max(time.time() - t_start, 1e-9)
                     self.logger.info(
                         "step %d/%d | loss %.4f (ema %.4f) | %.2f it/s | eta %s",
                         step, total_iter, total, loss_ema or 0.0, rate,
