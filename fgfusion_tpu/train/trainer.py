@@ -322,7 +322,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def test(self, model, spec: PyramidSpec, dataset, resume: str,
              benchmark_name: Optional[str] = None,
-             gt_root: str = "datasets/3dmatch/benchmarks") -> Dict:
+             gt_root: Optional[str] = None) -> Dict:
         """Test-set evaluation with dataset-specific protocol handling
         (reference Trainer.test trainer.py:185-217 +
         GenericRegModel.test_step/test_epoch_end
@@ -432,6 +432,12 @@ class Trainer:
 
         if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
             from ..benchmark.benchmark_3dmatch_rr import benchmark
+            if gt_root is None:
+                # gt.log/gt.info live next to the dataset infos — for
+                # the synthetic stand-in that is info_dir/benchmarks,
+                # same layout as the real Predator root.
+                gt_root = os.path.join(
+                    cfg.get("info_dir", "datasets/3dmatch"), "benchmarks")
             report, mean_recall = benchmark(
                 os.path.join(self.log_dir, benchmark_name),
                 os.path.join(gt_root, benchmark_name))
