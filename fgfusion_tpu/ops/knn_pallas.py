@@ -107,7 +107,11 @@ def knn_candidates(queries: jax.Array, supports: jax.Array,
     if seg is None:
         seg = seg_for(ns)
     if tile_q is None:
-        tile_q = _pick(nq, [256, 192, 128, 96, 64, 32, 16, 8])
+        # Mosaic block constraint: the trailing (lane) block dim must be
+        # a multiple of 128 or the full array dim. (Only enforced in
+        # real TPU lowering — interpret mode accepts anything, so keep
+        # this policy in sync with tests/test_knn_pallas.py.)
+        tile_q = next((c for c in (256, 128) if nq % c == 0), nq)
     if s_chunk is None:
         s_chunk = _pick(ns, [2048, 1536, 1024, 512, 256, 128, 64, 32])
     assert s_chunk % seg == 0, (s_chunk, seg)

@@ -116,3 +116,24 @@ def test_pyramid_with_fused_knn():
     for lvl, idx in enumerate(meta["neighbors"]):
         ns = meta["points"][lvl].shape[1]
         assert (np.asarray(idx) <= ns).all()
+
+
+def test_tile_q_obeys_mosaic_lane_constraint():
+    """Real-TPU lowering requires the query-tile (lane) block dim to be
+    a multiple of 128 or the full Nq (round-2 incident: tile_q=192 at
+    Nq=576 failed pallas lowering on device while interpret-mode tests
+    passed)."""
+    import jax
+    import numpy as np
+    from fgfusion_tpu.ops.knn_pallas import knn_candidates, seg_for
+
+    for nq in (576, 768, 12288, 104, 4608):
+        # reproduce the choice logic by tracing at this shape
+        q = np.zeros((nq, 3), np.float32)
+        s = np.zeros((1024, 3), np.float32)
+        s2 = np.zeros((1024,), np.float32)
+        # jit-trace only (abstract): verifies the block spec passes the
+        # shape policy without running the kernel
+        jax.eval_shape(lambda a, b, c: knn_candidates(a, b, c), q, s, s2)
+        tile_q = next((c for c in (256, 128) if nq % c == 0), nq)
+        assert tile_q % 128 == 0 or tile_q == nq
