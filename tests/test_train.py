@@ -280,3 +280,19 @@ def test_tp_train_step_matches_dp(setup):
     # weights stay split after the update
     q = new_state.params["transformer_encoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
     assert any(ax == "model" for ax in q.sharding.spec)
+
+
+def test_trainer_tp_mesh(setup, tmp_path):
+    """cfg tp_size=2 builds a (data=4, model=2) mesh; batch shards on
+    the data axis only (divisibility by 4, not 8)."""
+    from fgfusion_tpu.train.trainer import Trainer
+    model, tx, fresh_state, _ = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(reg_success_thresh_rot=10, reg_success_thresh_trans=0.1,
+               tp_size=2)
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+
+    batch = {"src_xyz": np.zeros((4, 16, 3), np.float32)}  # 4 % 4 == 0
+    out = trainer._put(batch)
+    assert not out["src_xyz"].sharding.is_fully_replicated
