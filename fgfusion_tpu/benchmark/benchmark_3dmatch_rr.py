@@ -137,11 +137,17 @@ def evaluate_registration(n_fragments: int, est_traj: np.ndarray,
     return precision, recall, flags, errors, n_gt
 
 
-def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2):
-    """Full multi-scene benchmark. Returns (report string, mean recall)."""
+def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
+              with_details: bool = False):
+    """Full multi-scene benchmark. Returns (report string, mean recall),
+    plus — with_details=True — a per-pair list of dicts
+    {scene, tgt_idx, src_idx, success, error} over the valid
+    (non-consecutive) gt set, for downstream breakdowns such as
+    RR-vs-overlap-bin."""
     scenes = sorted(os.listdir(gt_folder))
     precisions, recalls, n_valids = [], [], []
     re_medians, te_medians = [], []
+    details = []
 
     lines = ["Scene\t| prec.\t| rec.\t| re\t| te\t| samples"]
     for s_idx, scene in enumerate(scenes):
@@ -183,6 +189,17 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2):
         np.save(os.path.join(est_folder, scene, "flag.npy"), flags)
         np.save(os.path.join(est_folder, scene, "errors.npy"), errors)
 
+        if with_details:
+            ep = est_pairs.astype(np.int64)
+            for k in range(ep.shape[0]):
+                if flags[k] == 2:
+                    continue  # not in the valid non-consecutive set
+                details.append({"scene": scene,
+                                "tgt_idx": int(ep[k, 0]),
+                                "src_idx": int(ep[k, 1]),
+                                "success": bool(flags[k] == 0),
+                                "error": float(errors[k])})
+
     n_valids = np.asarray(n_valids, np.float64)
     w_prec = float((n_valids * precisions).sum() / n_valids.sum())
     w_rec = float((n_valids * recalls).sum() / n_valids.sum())
@@ -192,4 +209,6 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2):
     lines.append(f"Mean median RTE: {np.mean(te_medians):.3f} +- {np.std(te_medians):.3f}")
     lines.append(f"Mean recall: {np.mean(recalls):.3f} +- {np.std(recalls):.3f}")
     lines.append(f"Weighted recall (global recall): {w_rec:.3f}")
+    if with_details:
+        return "\n".join(lines), float(np.mean(recalls)), details
     return "\n".join(lines), float(np.mean(recalls))

@@ -39,8 +39,12 @@ class ThreeDMatchDataset:
             info_dir = cfg.get("info_dir", "datasets/3dmatch")
         benchmark = cfg.get("benchmark")
         if phase in ("train", "val"):
-            info_fname = os.path.join(info_dir, f"{phase}_info.pkl")
-            pairs_fname = f"{phase}_pairs-overlapmask.h5"
+            # cfg train_pkl/val_pkl select an alternate pair band, e.g.
+            # the low-overlap curriculum band train_cur emitted by
+            # tools/make_synthetic_3dmatch.py --lo_overlap.
+            pkl = cfg.get(f"{phase}_pkl", phase)
+            info_fname = os.path.join(info_dir, f"{pkl}_info.pkl")
+            pairs_fname = f"{pkl}_pairs-overlapmask.h5"
         else:
             info_fname = os.path.join(info_dir, f"{phase}_{benchmark}_info.pkl")
             pairs_fname = f"{phase}_{benchmark}_pairs-overlapmask.h5"

@@ -16,6 +16,7 @@ ad-hoc loop); this provides the production entry point:
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -40,6 +41,7 @@ class InferenceEngine:
         self.buckets = sorted(int(b) for b in
                               cfg.get("eval_buckets", [spec.capacities[0]]))
         self._fwd = {}
+        self.n_subsampled = 0  # pairs that exceeded the largest bucket
 
     def _fwd_for(self, n_points: int):
         from .ops.pyramid import scale_spec
@@ -102,8 +104,16 @@ class InferenceEngine:
         sample = {"src_xyz": np.asarray(src_xyz, np.float32),
                   "tgt_xyz": np.asarray(tgt_xyz, np.float32),
                   "pose": np.eye(4, dtype=np.float32)[:3]}
-        bucket, fwd = self._fwd_for(max(len(sample["src_xyz"]),
-                                        len(sample["tgt_xyz"])))
+        n_need = max(len(sample["src_xyz"]), len(sample["tgt_xyz"]))
+        if n_need > self.buckets[-1]:
+            # mirror Trainer.test's n_subsampled accounting: falling
+            # back to the largest bucket subsamples the pair
+            self.n_subsampled += 1
+            logging.getLogger(__name__).warning(
+                "pair exceeds largest eval bucket (%d > %d); subsampling "
+                "— add a larger bucket to eval_buckets for full fidelity",
+                n_need, self.buckets[-1])
+        bucket, fwd = self._fwd_for(n_need)
         batch = collate_pairs([sample], bucket, rng)
         pred = fwd(self.variables, batch)
 

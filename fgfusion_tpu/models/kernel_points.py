@@ -117,10 +117,14 @@ def spherical_lloyd(num_cells: int, fixed: str = "center", seed: int = 0,
 
 def _cached_disposition(num_points: int, fixed: str) -> np.ndarray:
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"k_{num_points:03d}_{fixed}_3d.npy")
+    # The cache key is versioned with the generating algorithm so a
+    # stale file from a different optimizer can never silently shadow
+    # the dispatch rule (K>30 -> Lloyd, reference kernel_points.py:395).
+    algo = "lloyd" if num_points > 30 else "repulse"
+    path = os.path.join(_CACHE_DIR, f"k_{num_points:03d}_{fixed}_{algo}_3d.npy")
     if os.path.exists(path):
         return np.load(path)
-    if num_points > 30:  # reference dispatch (kernel_points.py:395-396)
+    if num_points > 30:
         pts = spherical_lloyd(num_points, fixed=fixed)
     else:
         pts = optimize_kernel_points(num_points, fixed=fixed)

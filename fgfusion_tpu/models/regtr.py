@@ -292,10 +292,25 @@ class RegTR(nn.Module):
                 pred["src_feat"][i], pred["tgt_feat"][i],
                 src_kp_gt, pred["tgt_kp"],
                 pred["src_mask_c"], pred["tgt_mask_c"])
-        losses["feature_un"] = self.feature_criterion_un(
-            pred["src_feat_un"], pred["tgt_feat_un"],
-            src_kp_gt, pred["tgt_kp"],
-            pred["src_mask_c"], pred["tgt_mask_c"])
+        if cfg["wt_feature_un"] != 0.0:
+            losses["feature_un"] = self.feature_criterion_un(
+                pred["src_feat_un"], pred["tgt_feat_un"],
+                src_kp_gt, pred["tgt_kp"],
+                pred["src_mask_c"], pred["tgt_mask_c"])
+        else:
+            # The reference computes this unconditionally even though
+            # every shipped config weights it 0 (finegrained_regtr.py
+            # loss block) — a full masked Nc x Nc cdist + bilinear +
+            # logsumexp and its backward for nothing. Gate it on the
+            # weight, but still call the criterion on an 8-point slice
+            # so its learned W is materialized and the parameter tree /
+            # checkpoints stay schema-identical (XLA dead-code
+            # eliminates the discarded compute).
+            _ = self.feature_criterion_un(
+                pred["src_feat_un"][:, :8], pred["tgt_feat_un"][:, :8],
+                src_kp_gt[:, :8], pred["tgt_kp"][:, :8],
+                pred["src_mask_c"][:, :8], pred["tgt_mask_c"][:, :8])
+            losses["feature_un"] = jnp.zeros((), jnp.float32)
 
         # ---- correspondence loss --------------------------------------
         src_w = src_ov_c * pred["src_mask_c"]

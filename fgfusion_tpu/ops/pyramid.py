@@ -188,10 +188,13 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
         k = int(spec.neighborhood_limits[level])
 
         if blocks:
-            # deformable blocks see a wider neighborhood
-            # (finegrained_kpconv.py:472-473)
+            # deformable blocks see a wider neighborhood. Reference
+            # quirk preserved exactly (finegrained_kpconv.py:472-473):
+            # only layer_blocks[:-1] is checked, so a level whose ONLY
+            # deformable block is the last non-strided one still gets
+            # the normal radius.
             r_conv = (r_normal * spec.deform_radius / spec.conv_radius
-                      if any("deformable" in blk for blk in blocks)
+                      if any("deformable" in blk for blk in blocks[:-1])
                       else r_normal)
             conv_i = knn_b(cur_pts, cur_mask, cur_pts, cur_mask, r_conv, k)
         else:

@@ -77,8 +77,14 @@ def grid_subsample(points: jax.Array, mask: jax.Array, cell: float, capacity: in
     valid_boundary = boundary & mask_s
 
     # Static-shape segment starts: indices of the first `capacity`
-    # valid-voxel boundaries (fill = n for absent segments).
-    starts = jnp.nonzero(valid_boundary, size=capacity, fill_value=n)[0]
+    # valid-voxel boundaries (fill = n for absent segments). One extra
+    # start is taken so that on overflow the last *kept* voxel's segment
+    # ends at the first *dropped* voxel's start — overflow truncates
+    # cleanly (every kept voxel a true barycenter, C++ parity
+    # grid_subsampling.cpp:85-95) instead of the tail of the cloud
+    # collapsing into the final barycenter.
+    starts_p1 = jnp.nonzero(valid_boundary, size=capacity + 1, fill_value=n)[0]
+    starts = starts_p1[:capacity]
     new_mask = starts < n
 
     # Prefix sums (one zero row prepended) -> segment sums by gather.
@@ -88,11 +94,10 @@ def grid_subsample(points: jax.Array, mask: jax.Array, cell: float, capacity: in
     csum_cnt = jnp.concatenate(
         [jnp.zeros((1,), points.dtype), jnp.cumsum(w)])
 
-    # Segment end = next valid-boundary start (or total valid count).
-    # Invalid points contribute zero weight, so using `n` as the end for
-    # the final segment is exact.
-    ends = jnp.concatenate([starts[1:], jnp.array([n])])
-    ends = jnp.minimum(ends, n)
+    # Segment end = next valid-boundary start overall (fill n past the
+    # last occupied voxel — exact, because invalid points carry zero
+    # weight).
+    ends = jnp.minimum(starts_p1[1:], n)
     safe_starts = jnp.minimum(starts, n)
 
     seg_sum = csum_pts[ends] - csum_pts[safe_starts]

@@ -26,27 +26,35 @@ class CheckpointManager:
     def __init__(self, save_dir: str, max_to_keep: int = 6):
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self._mgr = self._open_mgr(create=True)
+        self._index_path = os.path.join(self.save_dir, "checkpoints.txt")
+        self.best_step, self.best_score = self._read_index()
+
+    def _open_mgr(self, create: bool) -> ocp.CheckpointManager:
+        """Build the manager with the full preservation policy — reused
+        whenever the manager is re-opened (restore-retry path), so a
+        manager that later saves never silently drops the rotation
+        rules."""
         from orbax.checkpoint.checkpoint_managers import preservation_policy
         # Keep: the `max_to_keep` most recent, PLUS the best-scoring
         # checkpoint (so `load(best=True)` can never dangle after
         # rotation), PLUS a permanent snapshot every 3h (reference
         # trainer.py:34-35).
         policy = preservation_policy.AnyPreservationPolicy([
-            preservation_policy.LatestN(n=max_to_keep),
+            preservation_policy.LatestN(n=self.max_to_keep),
             preservation_policy.BestN(
                 get_metric_fn=lambda m: m["score"], n=1,
                 keep_checkpoints_without_metrics=False),
             preservation_policy.EveryNSeconds(interval_secs=3 * 3600),
         ])
-        self._mgr = ocp.CheckpointManager(
+        return ocp.CheckpointManager(
             self.save_dir,
             options=ocp.CheckpointManagerOptions(
-                create=True,
+                create=create,
                 preservation_policy=policy,
                 enable_async_checkpointing=True),
         )
-        self._index_path = os.path.join(self.save_dir, "checkpoints.txt")
-        self.best_step, self.best_score = self._read_index()
 
     # -- index ----------------------------------------------------------
     def _read_scores(self) -> dict:
@@ -126,9 +134,7 @@ class CheckpointManager:
                     step, e)
                 import time
                 time.sleep(5.0)
-                self._mgr = ocp.CheckpointManager(
-                    self.save_dir,
-                    options=ocp.CheckpointManagerOptions(create=False))
+                self._mgr = self._open_mgr(create=False)
         else:
             raise last_err
         _logger.info("restored checkpoint step %d from %s", step, self.save_dir)

@@ -97,10 +97,19 @@ def make_train_step(model, tx, spec: PyramidSpec):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         def loss_fn(params):
-            (_, losses), mut = model.apply(
+            (pred, losses), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, spec, train=True,
                 method=model.forward_with_loss, mutable=["batch_stats"])
+            losses = dict(losses)
+            # surface capacity overflow in TRAINING summaries too (not
+            # just validation): worst voxels-over-capacity across levels
+            # — >0 means points were dropped this step
+            nv = pred["n_voxels"]
+            if nv.shape[0]:
+                caps = jnp.asarray(spec.capacities[1:], jnp.int32)[:, None]
+                losses["voxel_overflow"] = jnp.max(nv - caps).astype(
+                    jnp.float32)
             return losses["total"], (losses, mut)
 
         grads, (losses, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -137,6 +146,28 @@ def make_eval_step(model, spec: PyramidSpec):
         return pred, losses, metrics
 
     return eval_step
+
+
+def make_test_step(model, spec: PyramidSpec):
+    """Protocol-eval step returning ONLY what the test loop consumes
+    (all-layer poses, losses, pose metrics, occupancy counters).
+
+    Rationale: the serial round-2 loop materialized ~15 scalars per
+    pair with individual blocking `float()` syncs — each a full
+    round-trip over the remote TPU tunnel — which made protocol sweeps
+    host-bound at <1 pair/s. A slim output pytree is fetched with ONE
+    `jax.device_get` per (batched) call instead."""
+    @jax.jit
+    def test_step(state: TrainState, batch):
+        pred, losses = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, spec, train=False, method=model.forward_with_loss)
+        metrics = compute_pose_metrics(pred, batch)
+        slim = {"pose": pred["pose"],            # (L, B, 3, 4)
+                "n_voxels": pred["n_voxels"]}    # (levels-1, 2B)
+        return slim, losses, metrics
+
+    return test_step
 
 
 def device_prefetch(iterator, put_fn, size: int = 2):
@@ -186,6 +217,7 @@ class Trainer:
         else:
             self.mesh = make_mesh()
         self.tp = tp
+        self._warned_replicated: set = set()
         del grad_clip  # handled inside the optimizer (scheduler.make_optimizer)
 
     # ------------------------------------------------------------------
@@ -197,8 +229,18 @@ class Trainer:
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 continue
-            out[k] = jax.device_put(
-                v, sh if v.shape and v.shape[0] % n_data == 0 else rep)
+            shardable = v.shape and v.shape[0] % n_data == 0
+            if (not shardable and n_data > 1 and v.shape
+                    and v.shape[0] > 1 and k not in self._warned_replicated):
+                # a multi-row batch axis that doesn't divide the data
+                # axis silently replicates = n_data x redundant compute
+                self._warned_replicated.add(k)
+                self.logger.warning(
+                    "batch key '%s' (leading dim %d) is REPLICATED over "
+                    "the %d-way data axis instead of sharded — make the "
+                    "global batch size a multiple of the data-axis size",
+                    k, v.shape[0], n_data)
+            out[k] = jax.device_put(v, sh if shardable else rep)
         return out
 
     # ------------------------------------------------------------------
@@ -206,6 +248,18 @@ class Trainer:
             resume: Optional[str] = None):
         cfg = self.cfg
         first = next(iter(train_loader))
+        n_data = self.mesh.shape["data"]
+        if (n_data > 1 and first["src_xyz"].shape[0] % n_data != 0
+                and not cfg.get("allow_replicated_train_batch", False)):
+            # hard contract: global batch = per-device batch x data-axis
+            # size. Anything else silently replicates (n_data x
+            # redundant compute) — refuse to train that way.
+            # allow_replicated_train_batch: true opts out explicitly
+            # (tests / debugging only).
+            raise ValueError(
+                f"train batch size {first['src_xyz'].shape[0]} does not "
+                f"divide the {n_data}-way data axis; set train_batch_size "
+                f"to per_device_batch * {n_data} (global-batch contract)")
         state, tx = create_train_state(model, cfg, spec, self._put(first))
         if self.tp > 1:
             # Megatron-split the transformer weights over the 'model'
@@ -303,13 +357,15 @@ class Trainer:
                         prefix="losses/")
                     self.train_writer.flush()
                 if step % validate_every == 0:
-                    score = self._validate(eval_step, state, val_loader, step=step)
+                    score = self._validate(eval_step, state, val_loader,
+                                           step=step, spec=spec)
                     host_snapshot = jax.device_get(state)
                     snapshot_step = step
                     self.saver.save(step, host_snapshot, score=score)
             epoch += 1
 
-        score = self._validate(eval_step, state, val_loader, step=step)
+        score = self._validate(eval_step, state, val_loader, step=step,
+                               spec=spec)
         self.saver.save(step, jax.device_get(state), score=score)
         self.saver.wait()
         if skipped_acc is not None:
@@ -341,6 +397,15 @@ class Trainer:
         transforms.py:98). Each bucket jit-compiles its own program
         (minutes on this TPU, cached persistently), so buckets are
         created lazily and only sizes the data actually needs compile.
+
+        Throughput design (round 3): pairs are loaded by a background
+        thread pool (overlapping host IO with device compute, like the
+        fit() prefetch), grouped per bucket into batches of
+        cfg `eval_batch_size` (scaled down for larger buckets), and
+        each batched device call is drained with a single device_get —
+        the reference's test loop at least overlapped via DataLoader
+        workers (trainer.py:185-217); round 2's serial loop did
+        neither and ran <1 pair/s.
         """
         import os
         from ..data.buckets import collate_pairs
@@ -358,37 +423,43 @@ class Trainer:
         state, step0 = saver.load(state, best=True)
         self.logger.info("testing with checkpoint step %d", step0)
 
-        eval_steps: Dict[int, Any] = {}
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
 
-        def step_for(n_points: int):
-            b = next((bb for bb in buckets if bb >= n_points), buckets[-1])
-            if b not in eval_steps:
-                self.logger.info("eval bucket %d: compiling", b)
-                eval_steps[b] = make_eval_step(model, scale_spec(spec, b))
-            return b, eval_steps[b]
+        test_steps: Dict[int, Any] = {}
+
+        def step_for(bucket: int):
+            if bucket not in test_steps:
+                self.logger.info("eval bucket %d: compiling", bucket)
+                test_steps[bucket] = make_test_step(model, scale_spec(spec, bucket))
+            return test_steps[bucket]
+
+        b0 = int(cfg.get("eval_batch_size", 4))
+
+        def batch_size_for(bucket: int) -> int:
+            # scale the pair batch down with bucket size so the
+            # activation footprint stays roughly constant
+            return max(1, (b0 * buckets[0]) // bucket)
 
         stats = StatsMeter()
         modelnet_metrics = []
-        modelnet_poses = []
+        modelnet_poses: Dict[int, np.ndarray] = {}   # idx -> (3, 4)
         n_subsampled = 0
+        n_done = 0
+        worst_voxels: Dict[int, np.ndarray] = {}     # bucket -> (levels-1,)
         t0 = time.time()
-        for idx in range(len(dataset)):
-            sample = dataset.__getitem__(idx)
-            n_need = max(len(sample["src_xyz"]), len(sample["tgt_xyz"]))
-            bucket, eval_step = step_for(n_need)
-            if n_need > bucket:
-                n_subsampled += 1
-            batch = collate_pairs([sample], bucket)
-            pred, losses, metrics = eval_step(state, self._put(batch))
-            stats.update_dict({k: float(v) for k, v in losses.items()})
-            rot = np.asarray(metrics["rot_deg"])
-            trans = np.asarray(metrics["trans"])
-            stats.update("rot_err_deg_final", float(rot[-1].mean()))
-            stats.update("trans_err_final", float(trans[-1].mean()))
-            success = (rot[-1] < self.rot_th) & (trans[-1] < self.trans_th)
-            stats.update("reg_success_final", float(success.mean()))
 
-            pose_final = np.asarray(pred["pose"])[-1, 0]          # (3, 4)
+        def process_one(idx, sample, batch, pose_all, rot, trans, losses_np):
+            """Host-side bookkeeping for ONE real pair of a drained
+            batch (pose_all (L,3,4); rot/trans (L,) per-layer errors)."""
+            nonlocal n_done
+            stats.update_dict(losses_np)
+            stats.update("rot_err_deg_final", float(rot[-1]))
+            stats.update("trans_err_final", float(trans[-1]))
+            success = (rot[-1] < self.rot_th) & (trans[-1] < self.trans_th)
+            stats.update("reg_success_final", float(success))
+
+            pose_final = pose_all[-1]                             # (3, 4)
             pose44 = np.concatenate([pose_final, [[0, 0, 0, 1]]], axis=0)
 
             if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
@@ -410,13 +481,88 @@ class Trainer:
                     batch["src_xyz"], batch["tgt_xyz"],
                     np.asarray(sample["tgt_raw"])[None],
                     batch["src_mask"], batch["tgt_mask"])
-                modelnet_metrics.append(m)
-                modelnet_poses.append(pose_final)
+                modelnet_metrics.append((idx, m))
+                modelnet_poses[idx] = pose_final
 
-            if (idx + 1) % 100 == 0:
-                rate = (idx + 1) / (time.time() - t0)
+            n_done += 1
+            if n_done % 100 == 0:
+                rate = n_done / (time.time() - t0)
                 self.logger.info("test %d/%d (%.2f pairs/s)",
-                                 idx + 1, len(dataset), rate)
+                                 n_done, len(dataset), rate)
+
+        inflight = collections.deque()
+
+        def drain_one():
+            bucket, items, host_batch, dev = inflight.popleft()
+            # ONE transfer for the whole batched result
+            slim, losses, metrics = jax.device_get(dev)
+            nv = np.max(slim["n_voxels"], axis=-1) if slim["n_voxels"].size \
+                else np.zeros((0,), np.int32)
+            worst_voxels[bucket] = np.maximum(
+                worst_voxels.get(bucket, np.zeros_like(nv)), nv)
+            rot = np.asarray(metrics["rot_deg"])      # (L, B)
+            trans = np.asarray(metrics["trans"])
+            losses_np = {k: float(v) for k, v in losses.items()}
+            for slot, (idx, sample) in enumerate(items):
+                sub = {k: v[slot:slot + 1] for k, v in host_batch.items()
+                       if isinstance(v, np.ndarray) and v.ndim > 0
+                       and v.shape[0] == rot.shape[1]}
+                process_one(idx, sample, sub, slim["pose"][:, slot],
+                            rot[:, slot], trans[:, slot], losses_np)
+
+        def flush(bucket, items):
+            """Pad the partial batch by repeating the last sample (its
+            duplicate slots are simply not read back), run the batched
+            step, and queue the async result."""
+            nonlocal n_subsampled
+            bsz = batch_size_for(bucket)
+            samples = [s for _, s in items]
+            padded = samples + [samples[-1]] * (bsz - len(samples))
+            host_batch = collate_pairs(padded, bucket)
+            dev = step_for(bucket)(state, self._put(host_batch))
+            inflight.append((bucket, items, host_batch, dev))
+            if len(inflight) > 2:
+                drain_one()
+
+        pending: Dict[int, list] = {}
+
+        def enqueue(idx, sample):
+            nonlocal n_subsampled
+            n_need = max(len(sample["src_xyz"]), len(sample["tgt_xyz"]))
+            bucket = next((bb for bb in buckets if bb >= n_need), buckets[-1])
+            if n_need > bucket:
+                n_subsampled += 1
+            pending.setdefault(bucket, []).append((idx, sample))
+            if len(pending[bucket]) >= batch_size_for(bucket):
+                flush(bucket, pending.pop(bucket))
+
+        # background host loading: bounded lookahead so IO overlaps the
+        # device calls without holding the whole sweep in RAM
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            lookahead = collections.deque()
+            for idx in range(len(dataset)):
+                lookahead.append((idx, ex.submit(dataset.__getitem__, idx)))
+                if len(lookahead) >= min(16, len(dataset)):
+                    i, fut = lookahead.popleft()
+                    enqueue(i, fut.result())
+            while lookahead:
+                i, fut = lookahead.popleft()
+                enqueue(i, fut.result())
+        for bucket, items in sorted(pending.items()):
+            if items:
+                flush(bucket, items)
+        while inflight:
+            drain_one()
+
+        for bucket, nv in sorted(worst_voxels.items()):
+            caps = scale_spec(spec, bucket).capacities[1:]
+            for lvl, worst in enumerate(nv):
+                if int(worst) > caps[lvl]:
+                    self.logger.warning(
+                        "test bucket %d: pyramid level %d overflow — worst "
+                        "%d voxels > capacity %d (points dropped; "
+                        "recalibrate capacities)",
+                        bucket, lvl + 1, int(worst), caps[lvl])
 
         avgs = stats.avgs()
         self.logger.info(metrics_to_string(avgs, "[test] "))
@@ -438,42 +584,79 @@ class Trainer:
                 # same layout as the real Predator root.
                 gt_root = os.path.join(
                     cfg.get("info_dir", "datasets/3dmatch"), "benchmarks")
-            report, mean_recall = benchmark(
+            report, mean_recall, details = benchmark(
                 os.path.join(self.log_dir, benchmark_name),
-                os.path.join(gt_root, benchmark_name))
+                os.path.join(gt_root, benchmark_name), with_details=True)
             self.logger.info("\n%s", report)
             results["registration_recall"] = mean_recall
             results["report"] = report
+            bins = self._rr_by_overlap_bin(dataset, details)
+            if bins:
+                results["rr_by_overlap"] = bins
+                self.logger.info(
+                    "RR by GT-overlap bin: %s",
+                    " | ".join(f"[{lo:.2f},{hi:.2f}): {rr:.3f} (n={n})"
+                               for lo, hi, rr, n in bins))
         elif cfg["dataset"] == "modelnet":
             from ..benchmark import benchmark_modelnet as bm
-            cat = {k: np.concatenate([m[k] for m in modelnet_metrics])
-                   for k in modelnet_metrics[0]}
+            modelnet_metrics.sort(key=lambda im: im[0])   # dataset order
+            cat = {k: np.concatenate([m[k] for _, m in modelnet_metrics])
+                   for k in modelnet_metrics[0][1]}
             summary = bm.summarize_metrics(cat)
             bm.print_metrics(self.logger, summary)
             np.save(os.path.join(self.log_dir, "pred_transforms.npy"),
-                    np.stack(modelnet_poses))
+                    np.stack([modelnet_poses[i]
+                              for i in sorted(modelnet_poses)]))
             results["summary"] = summary
         return results
+
+    @staticmethod
+    def _rr_by_overlap_bin(dataset, details, edges=(0.1, 0.2, 0.3, 0.4,
+                                                    0.6, 1.01)):
+        """Join per-pair RR outcomes with the dataset's GT overlap
+        ratios and bin them — the low-overlap diagnosis the 3DLoMatch
+        split calls for (its whole premise is overlap in [0.1, 0.3),
+        reference test.py:63-66)."""
+        infos = getattr(dataset, "infos", None)
+        if not infos or "overlap" not in infos:
+            return []
+        import os as _os
+        ov_by_key = {}
+        for k in range(len(infos["overlap"])):
+            scene = infos["src"][k].split(_os.path.sep)[1]
+            s_idx = int(_os.path.basename(infos["src"][k])
+                        .split("_")[-1].split(".")[0])
+            t_idx = int(_os.path.basename(infos["tgt"][k])
+                        .split("_")[-1].split(".")[0])
+            ov_by_key[(scene, t_idx, s_idx)] = float(infos["overlap"][k])
+        binned = [[] for _ in range(len(edges) - 1)]
+        for d in details:
+            ov = ov_by_key.get((d["scene"], d["tgt_idx"], d["src_idx"]))
+            if ov is None:
+                continue
+            for bi in range(len(edges) - 1):
+                if edges[bi] <= ov < edges[bi + 1]:
+                    binned[bi].append(d["success"])
+                    break
+        return [(edges[bi], edges[bi + 1], float(np.mean(b)), len(b))
+                for bi, b in enumerate(binned) if b]
 
     # ------------------------------------------------------------------
     def _validate(self, eval_step, state, val_loader, step: int = 0,
                   limit: Optional[int] = None, spec: Optional[PyramidSpec] = None)\
             -> float:
         stats = StatsMeter()
+        worst_nv = None
         for i, batch in enumerate(val_loader):
             if limit is not None and i >= limit:
                 break
             pred, losses, metrics = eval_step(state, self._put(batch))
-            if i == 0 and spec is not None and "n_voxels" in pred:
-                nv = np.asarray(pred["n_voxels"])       # (levels-1, C)
-                for lvl in range(nv.shape[0]):
-                    cap = spec.capacities[lvl + 1]
-                    worst = int(nv[lvl].max()) if nv.size else 0
-                    if worst > cap:
-                        self.logger.warning(
-                            "pyramid level %d overflow: %d voxels > capacity "
-                            "%d (points dropped; recalibrate capacities)",
-                            lvl + 1, worst, cap)
+            if spec is not None and "n_voxels" in pred:
+                nv = np.max(np.asarray(pred["n_voxels"]), axis=-1) \
+                    if np.asarray(pred["n_voxels"]).size else None
+                if nv is not None:
+                    worst_nv = nv if worst_nv is None else \
+                        np.maximum(worst_nv, nv)
             stats.update_dict({k: float(v) for k, v in losses.items()})
             rot = np.asarray(metrics["rot_deg"])    # (L, B)
             trans = np.asarray(metrics["trans"])
@@ -483,6 +666,14 @@ class Trainer:
                 stats.update(f"trans_err_{l}", float(trans[l].mean()), rot.shape[1])
             success = (rot[-1] < self.rot_th) & (trans[-1] < self.trans_th)
             stats.update("reg_success_final", float(success.mean()), rot.shape[1])
+        if worst_nv is not None and spec is not None:
+            for lvl, worst in enumerate(worst_nv):
+                cap = spec.capacities[lvl + 1]
+                if int(worst) > cap:
+                    self.logger.warning(
+                        "pyramid level %d overflow across val: worst %d "
+                        "voxels > capacity %d (points dropped; recalibrate "
+                        "capacities)", lvl + 1, int(worst), cap)
         avgs = stats.avgs()
         self.logger.info(metrics_to_string(avgs, f"[val @ {step}] "))
         self.val_writer.add_scalars(avgs, step, prefix="val/")

@@ -75,6 +75,13 @@ def main():
     if args.exact_knn:
         cfg["approx_knn"] = False
     if args.fused_knn:
+        if args.exact_knn:
+            sys.exit("--fused_knn requires the approximate path; it "
+                     "cannot be combined with --exact_knn")
+        # the fused Pallas kernel is only taken when approx AND fused
+        # are both set (ops/neighbors.py) — imply approx so the flag is
+        # never silently inert for approx_knn: false configs
+        cfg["approx_knn"] = True
         cfg["fused_knn"] = True
 
     logger, log_dir = prepare_logger(

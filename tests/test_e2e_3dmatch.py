@@ -91,6 +91,8 @@ def cfg(data_root):
         "dataset": "3dmatch", "root": str(data_root), "benchmark": "SynthBench",
         "augment_noise": 0.005, "perturb_pose": "small",
         "train_batch_size": 2, "val_batch_size": 2, "test_batch_size": 1,
+        # single-device workflow on the 8-device test mesh
+        "allow_replicated_train_batch": True,
         "overlap_radius": 0.05,
         "niter": 2,
         "optimizer": "AdamW", "base_lr": 1e-4, "weight_decay": 1e-4,

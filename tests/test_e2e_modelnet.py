@@ -53,6 +53,8 @@ def cfg(modelnet_root):
         "test_categoryfile": os.path.join(modelnet_root, "half1.txt"),
         "augment_noise": 0.005, "perturb_pose": "small",
         "train_batch_size": 2, "val_batch_size": 2, "test_batch_size": 1,
+        # single-device workflow on the 8-device test mesh
+        "allow_replicated_train_batch": True,
         "overlap_radius": 0.15, "partial": [0.7, 0.7], "num_points": 256,
         "noise_type": "crop", "rot_mag": 45.0, "trans_mag": 0.5,
         "niter": 4,  # 4 steps only

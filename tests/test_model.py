@@ -118,6 +118,37 @@ def test_forward_jits_and_loss_finite(model_and_vars):
     assert "total" in losses
 
 
+def test_feature_un_gated_on_weight(model_and_vars):
+    """wt_feature_un == 0 (every shipped config) skips the O(Nc^2)
+    unconditioned-feature loss, reports 0.0, and STILL materializes the
+    criterion's learned W so the parameter tree / checkpoints stay
+    schema-identical with the wt != 0 parity path."""
+    model, variables, batch = model_and_vars
+    assert TINY_CFG["wt_feature_un"] == 0.0
+    _, losses = model.apply(variables, batch, SPEC, train=False,
+                            method=model.forward_with_loss)
+    assert float(losses["feature_un"]) == 0.0
+
+    cfg_on = dict(TINY_CFG, wt_feature_un=0.1)
+    model_on = get_model("finegrained_regtr.RegTR")(cfg=cfg_on)
+    vars_on = model_on.init(
+        {"params": jax.random.PRNGKey(0)}, batch, SPEC, train=False,
+        method=model_on.forward_with_loss)
+    # identical parameter tree structure (and identical leaves: same
+    # init rngs, same shapes — W is (D, D) independent of the gate)
+    paths_off = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    paths_on = jax.tree_util.tree_flatten_with_path(vars_on["params"])[0]
+    assert [p for p, _ in paths_off] == [p for p, _ in paths_on]
+    w_off = variables["params"]["feature_criterion_un"]["W"]
+    w_on = vars_on["params"]["feature_criterion_un"]["W"]
+    assert w_off.shape == w_on.shape == (TINY_CFG["d_embed"],
+                                         TINY_CFG["d_embed"])
+    _, losses_on = model_on.apply(vars_on, batch, SPEC, train=False,
+                                  method=model_on.forward_with_loss)
+    assert float(losses_on["feature_un"]) != 0.0
+    assert np.isfinite(float(losses_on["total"]))
+
+
 def test_gradients_flow(model_and_vars):
     model, variables, batch = model_and_vars
     params = variables["params"]

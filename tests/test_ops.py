@@ -65,6 +65,27 @@ def test_grid_subsample_overflow_detection(rng):
     assert np.asarray(out_m).sum() <= 16  # capacity respected
 
 
+def test_grid_subsample_overflow_truncates_cleanly(rng):
+    """On capacity overflow, every KEPT voxel must still be a true
+    barycenter of exactly its own points (C++ parity,
+    grid_subsampling.cpp:85-95) — the dropped tail must not be absorbed
+    into the last kept voxel's mean."""
+    n, cap, cell = 400, 16, 0.5
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 20  # >> cap voxels
+    mask = np.ones(n, bool)
+    out_p, out_m, n_vox = grid_subsample(
+        jnp.asarray(pts), jnp.asarray(mask), cell, cap)
+    out_p, out_m = np.asarray(out_p), np.asarray(out_m)
+    assert int(n_vox) > cap and out_m.sum() == cap
+
+    # reference barycenters keyed by voxel coordinate, in the same
+    # (z, y, x) lexicographic emit order as the device op
+    ref = ref_grid_subsample(pts, cell)
+    keys = sorted(ref, key=lambda k: (k[2], k[1], k[0]))
+    want = np.stack([ref[k] for k in keys[:cap]])
+    np.testing.assert_allclose(out_p[out_m], want, atol=1e-4)
+
+
 def test_radius_knn_matches_bruteforce(rng):
     nq, ns, k, radius = 150, 200, 12, 0.6
     q = rng.normal(size=(nq, 3)).astype(np.float32)

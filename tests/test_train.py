@@ -150,7 +150,9 @@ def test_fit_survives_midtrain_exception(setup, tmp_path, monkeypatch):
 
     monkeypatch.setattr(trainer_mod, "make_train_step", flaky_make)
 
-    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    # global-batch contract: leading dim must divide the 8-device mesh
+    batch8 = make_batch(np.random.default_rng(7), b=8)
+    np_batch = {k: np.asarray(v) for k, v in batch8.items()}
 
     class Loader:
         def __init__(self, n):
@@ -280,6 +282,80 @@ def test_tp_train_step_matches_dp(setup):
     # weights stay split after the update
     q = new_state.params["transformer_encoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
     assert any(ax == "model" for ax in q.sharding.spec)
+
+
+def test_multistep_mesh_training_matches_single_device(setup):
+    """A sustained multi-step DP training run over the 8-device mesh
+    must reproduce the single-device loss trajectory (same batches,
+    same init) within numerical tolerance — the reduction order of the
+    gradient psum is the only difference. Guards the whole scaling
+    story: sharded input + replicated params + XLA-inserted gradient
+    all-reduce IS the same optimization process, not merely one step
+    of it."""
+    model, tx, fresh_state, _ = setup
+    n_steps = 20
+    rng = np.random.default_rng(11)
+    batches = [make_batch(rng, b=8) for _ in range(n_steps)]
+    step = make_train_step(model, tx, SPEC)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    state1 = fresh_state()
+    traj1 = []
+    for b in batches:
+        state1, losses = step(state1, shard_batch(b, mesh1))
+        traj1.append(float(losses["total"]))
+
+    mesh8 = make_mesh()
+    assert len(mesh8.devices) == 8
+    state8 = fresh_state()
+    traj8 = []
+    for b in batches:
+        state8, losses = step(state8, shard_batch(b, mesh8))
+        traj8.append(float(losses["total"]))
+
+    np.testing.assert_allclose(traj1, traj8, rtol=5e-3)
+    assert int(state8.step) == n_steps
+    # the trained MODELS are functionally equivalent on held-out data
+    # (AdamW's sqrt(v) normalization makes individual near-zero weights
+    # chaotically sensitive to the psum reduction order, so raw
+    # parameter equality is not the right statement — held-out loss is)
+    held_out = make_batch(np.random.default_rng(99), b=8)
+    eval_step = make_eval_step(model, SPEC)
+    s1 = jax.device_put(jax.device_get(state1))   # strip mesh shardings
+    s8 = jax.device_put(jax.device_get(state8))
+    _, l1, _ = eval_step(s1, held_out)
+    _, l8, _ = eval_step(s8, held_out)
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l8[k]), rtol=1e-2,
+                                   atol=1e-3, err_msg=k)
+
+
+def test_fit_refuses_indivisible_global_batch(setup, tmp_path):
+    """The global-batch contract: fit() on a multi-device mesh with a
+    batch size that does not divide the data axis must error loudly
+    instead of silently replicating (8x redundant compute)."""
+    from fgfusion_tpu.train.trainer import Trainer
+    model, tx, fresh_state, batch = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(optimizer="AdamW", base_lr=1e-3, weight_decay=1e-4,
+               grad_clip=0.1, scheduler="step", scheduler_param=[100000, 0.5],
+               reg_success_thresh_rot=10, reg_success_thresh_trans=0.1)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}  # b=2
+
+    class Loader:
+        def __len__(self):
+            return 1
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter([np_batch])
+
+    trainer = Trainer(cfg, str(tmp_path / "run"), niter=1,
+                      nb_sanity_val_steps=0)
+    with pytest.raises(ValueError, match="global-batch contract"):
+        trainer.fit(model, SPEC, Loader(), Loader())
 
 
 def test_trainer_tp_mesh(setup, tmp_path):

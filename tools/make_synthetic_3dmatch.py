@@ -203,6 +203,7 @@ def build_split(root, split_dir, scene_ids, n_frag, rng, h5_prefixes):
             for i in range(j + 1, n_frag):  # src (> tgt, like Predator)
                 pose = pair_pose(rots[i], ts[i], rots[j], ts[j])
                 ov = overlap_ratio(frags[i], frags[j], pose)
+                masks = None  # computed once per pair, shared across bands
                 for name, (lo, hi) in h5_prefixes.items():
                     if not (lo <= ov < hi):
                         continue
@@ -216,9 +217,11 @@ def build_split(root, split_dir, scene_ids, n_frag, rng, h5_prefixes):
                         f"{split_dir}/{scene_name}/cloud_bin_{j}.pth")
                     infos[name]["overlap"].append(ov)
 
-                    src_ov, tgt_ov, corr = compute_overlap(
-                        se3_np.se3_transform(pose, frags[i]), frags[j],
-                        OVERLAP_RADIUS)
+                    if masks is None:
+                        masks = compute_overlap(
+                            se3_np.se3_transform(pose, frags[i]), frags[j],
+                            OVERLAP_RADIUS)
+                    src_ov, tgt_ov, corr = masks
                     grp = h5[name].create_group(f"pair_{item:06d}")
                     grp["src_mask"] = src_ov
                     grp["tgt_mask"] = tgt_ov
@@ -258,18 +261,30 @@ def main():
     ap.add_argument("--val_scenes", type=int, default=2)
     ap.add_argument("--test_scenes", type=int, default=3)
     ap.add_argument("--frags", type=int, default=8)
+    ap.add_argument("--lo_overlap", type=float, default=None,
+                    help="if set (e.g. 0.10), ALSO emit a curriculum band "
+                         "train_cur_info.pkl with pairs in "
+                         "[lo_overlap, 1.01) — the Predator-protocol "
+                         "train band (>0.30) is emitted unchanged; point "
+                         "a config's train_pkl: train_cur at it to train "
+                         "with low-overlap pairs included")
     args = ap.parse_args()
 
     root = args.root
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     rng = np.random.default_rng(0)
 
-    # train + val: overlap > 0.30 only (Predator train protocol)
+    # train + val: overlap > 0.30 only (Predator train protocol);
+    # optional train_cur curriculum band includes low-overlap pairs.
+    train_bands = {"train": (0.30, 1.01)}
+    if args.lo_overlap is not None:
+        train_bands["train_cur"] = (args.lo_overlap, 1.01)
     tr_infos, _, _ = build_split(
         root, "train", range(args.train_scenes), args.frags, rng,
-        {"train": (0.30, 1.01)})
-    with open(os.path.join(root, "train_info.pkl"), "wb") as f:
-        pickle.dump(tr_infos["train"], f)
+        train_bands)
+    for name in train_bands:
+        with open(os.path.join(root, f"{name}_info.pkl"), "wb") as f:
+            pickle.dump(tr_infos[name], f)
 
     val_infos, _, _ = build_split(
         root, "train", range(1000, 1000 + args.val_scenes), args.frags, rng,
@@ -286,9 +301,10 @@ def main():
             pickle.dump(te_infos[f"test_{bench}"], f)
         write_benchmark(root, bench, te_gt[f"test_{bench}"], n_by_scene)
 
-    for name, infos in (("train", tr_infos["train"]), ("val", val_infos["val"]),
-                        ("test/3DMatch", te_infos["test_3DMatch"]),
-                        ("test/3DLoMatch", te_infos["test_3DLoMatch"])):
+    for name, infos in ([(n, tr_infos[n]) for n in train_bands]
+                        + [("val", val_infos["val"]),
+                           ("test/3DMatch", te_infos["test_3DMatch"]),
+                           ("test/3DLoMatch", te_infos["test_3DLoMatch"])]):
         print(f"{name}: {len(infos['rot'])} pairs")
 
 

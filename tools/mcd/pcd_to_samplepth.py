@@ -12,7 +12,6 @@ Usage: python tools/mcd/pcd_to_samplepth.py --data_root /path/to/MCD \
 import argparse
 import glob
 import os
-import struct
 import sys
 
 import numpy as np
@@ -41,21 +40,23 @@ def read_pcd_xyz(path: str) -> np.ndarray:
             data = np.loadtxt(f, max_rows=n)
             return data[:, xyz_idx].astype(np.float32)
 
-        # binary: build a struct per point
+        # binary: interleaved per-point records — view as a byte matrix
+        # and slice each field's column (handles any field layout with
+        # float32 x/y/z)
         offsets, off = [], 0
         for s, c in zip(sizes, counts):
             offsets.append(off)
             off += s * c
         point_size = off
         raw = f.read(n * point_size)
+        rec = np.frombuffer(raw, dtype=np.uint8,
+                            count=n * point_size).reshape(n, point_size)
         out = np.empty((n, 3), np.float32)
         for k, fi in enumerate(xyz_idx):
-            out[:, k] = np.frombuffer(
-                raw, dtype=np.float32, count=n,
-                offset=offsets[fi]).reshape(-1) if point_size == 4 * len(fields) \
-                else np.array([struct.unpack_from("<f", raw, i * point_size
-                                                  + offsets[fi])[0]
-                               for i in range(n)], np.float32)
+            if sizes[fi] != 4:
+                raise ValueError(f"non-float32 {fields[fi]} field")
+            col = np.ascontiguousarray(rec[:, offsets[fi]:offsets[fi] + 4])
+            out[:, k] = col.view(np.float32).ravel()
         return out
 
 
