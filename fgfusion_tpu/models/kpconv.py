@@ -138,6 +138,8 @@ class KPConvOp(nn.Module):
     compute_dtype: str = "float32"   # 'bfloat16' halves HBM traffic on
                                      # the two big contractions; the
                                      # influence geometry stays f32
+    gather_barrier: bool = False     # keep the fused coords+feats
+                                     # gather as ONE gather (see below)
 
     def setup(self):
         kp = load_kernel_points(self.radius, self.num_kernel_points,
@@ -164,7 +166,8 @@ class KPConvOp(nn.Module):
                 extent=self.extent, radius=self.radius,
                 fixed_kernel_points=self.fixed_kernel_points,
                 influence=self.influence, aggregation=self.aggregation,
-                compute_dtype=self.compute_dtype, name="offset_conv")
+                compute_dtype=self.compute_dtype,
+                gather_barrier=self.gather_barrier, name="offset_conv")
             self.offset_bias = self.param(
                 "offset_bias", nn.initializers.zeros,
                 (p3 * self.num_kernel_points,))
@@ -180,6 +183,7 @@ class KPConvOp(nn.Module):
 
         valid = None
         modulations = None
+        nb_sum = None
         if influence is not None:
             assert not self.deformable, (
                 "shared-influence fast path is rigid-only")
@@ -200,8 +204,17 @@ class KPConvOp(nn.Module):
             # influence row is zeroed below (0 * finite == 0), and the
             # density count uses `valid` directly — bit-exact.
             valid = neighb_idx < s_pts.shape[1]                 # (C,Nq,K)
+            # One extra gathered lane: the per-support feature sum. The
+            # density count below needs "feature-row-sum > 0" per
+            # neighbor; computing it from the gathered (C,Nq,K,Cin)
+            # tensor costs XLA a full select+reduce pass over ~276 MB
+            # (device trace: broadcast_select_fusion + slice_reduce +
+            # the layout copy they force, ~3.7 ms @12k). The gather is
+            # lane-padded to 128 anyway, so carrying the sum as lane
+            # 3+Cin is free — and the count becomes a thin slice read.
+            s_sum = jnp.sum(x, axis=-1, keepdims=True)          # (C,Ns,1)
             both = jnp.concatenate(
-                [s_pts, x.astype(jnp.float32)], axis=-1)        # (C,Ns,3+Cin)
+                [s_pts, x.astype(jnp.float32), s_sum], axis=-1)  # (C,Ns,4+Cin)
             c, ns = both.shape[0], both.shape[1]
             nq, k = neighb_idx.shape[1], neighb_idx.shape[2]
             if pages is not None:
@@ -211,11 +224,18 @@ class KPConvOp(nn.Module):
                 nb = paged_gather(both, neighb_idx, pages,
                                   tile_q=nq // pages.shape[1])
             else:
+                if self.gather_barrier:
+                    # keep the concat materialized so XLA cannot split
+                    # the single wide (lane-padded) gather into one
+                    # narrow gather per operand (measured: the split
+                    # pays the 128-lane row cost twice)
+                    both = jax.lax.optimization_barrier(both)
                 safe = jnp.clip(neighb_idx, 0, ns - 1).reshape(c, nq * k, 1)
                 nb = jnp.take_along_axis(both, safe, axis=1).reshape(
-                    c, nq, k, both.shape[-1])                   # (C,Nq,K,3+Cin)
+                    c, nq, k, both.shape[-1])                   # (C,Nq,K,4+Cin)
             nb_pts = nb[..., :3]
-            nb_x = nb[..., 3:].astype(cdt)
+            nb_x = nb[..., 3:-1].astype(cdt)
+            nb_sum = nb[..., -1]                                # (C,Nq,K)
 
             rel = nb_pts - q_pts[:, :, None, :]
             rel2 = jnp.sum(rel * rel, axis=-1)                  # (C,Nq,K)
@@ -282,8 +302,11 @@ class KPConvOp(nn.Module):
         # density normalization (reference blocks.py:396-399): count
         # neighbors whose feature-sum is positive. With the raw gather,
         # invalid slots may hold a real row's values — AND with `valid`
-        # reproduces the shadow-row-is-zero semantics exactly.
-        nonzero = jnp.sum(nb_x, axis=-1) > 0.0                       # (C,Nq,K)
+        # reproduces the shadow-row-is-zero semantics exactly. The sum
+        # comes from the extra gathered lane when available (same
+        # values, same f32 reduction order — identical sign).
+        nonzero = (nb_sum > 0.0) if nb_sum is not None \
+            else jnp.sum(nb_x, axis=-1) > 0.0                        # (C,Nq,K)
         if valid is not None:
             nonzero = jnp.logical_and(nonzero, valid)
         nb_count = jnp.sum(nonzero, axis=-1)                         # (C,Nq)
@@ -331,7 +354,7 @@ class SimpleBlock(nn.Module):
         q, s, idx, mask = _select_level_io(self.block_name, self.layer_ind, meta)
         infl = _select_influence(self.block_name, self.layer_ind, meta)
         pages = _select_pages(self.block_name, self.layer_ind, meta,
-                              3 + self.in_dim)
+                              4 + self.in_dim)
         x = KPConvOp(
             num_kernel_points=cfg["num_kernel_points"], in_dim=self.in_dim,
             out_dim=self.out_dim // 2, extent=extent, radius=self.radius,
@@ -340,6 +363,7 @@ class SimpleBlock(nn.Module):
             deformable="deformable" in self.block_name,
             modulated=cfg.get("modulated", False),
             compute_dtype=cfg.get("compute_dtype", "float32"),
+            gather_barrier=cfg.get("gather_barrier", False),
             name="kpconv")(q, s, idx, x, influence=infl, pages=pages)
         x = MaskedInstanceNorm(name="norm")(x, mask)
         return nn.leaky_relu(x, 0.1)
@@ -371,7 +395,7 @@ class ResnetBottleneckBlock(nn.Module):
         q, s, idx, mask_post = _select_level_io(self.block_name, self.layer_ind, meta)
         infl = _select_influence(self.block_name, self.layer_ind, meta)
         pages = _select_pages(self.block_name, self.layer_ind, meta,
-                              3 + self.out_dim // 4)
+                              4 + self.out_dim // 4)
 
         h = x
         if self.in_dim != self.out_dim // 4:
@@ -385,6 +409,7 @@ class ResnetBottleneckBlock(nn.Module):
             deformable="deformable" in self.block_name,
             modulated=cfg.get("modulated", False),
             compute_dtype=cfg.get("compute_dtype", "float32"),
+            gather_barrier=cfg.get("gather_barrier", False),
             name="kpconv")(q, s, idx, h, influence=infl, pages=pages)
         h = MaskedInstanceNorm(name="norm_conv")(h, mask_post)
         h = Res2NetFusion(self.out_dim // 4, self.out_dim, base_width=14, scale=8,
