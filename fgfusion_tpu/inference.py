@@ -48,7 +48,9 @@ class InferenceEngine:
         b = next((bb for bb in self.buckets if bb >= n_points),
                  self.buckets[-1])
         if b not in self._fwd:
-            spec_b = scale_spec(self.spec, b)
+            spec_b = scale_spec(
+                self.spec, b,
+                float(self.cfg.get("eval_capacity_headroom", 1.0)))
             self._fwd[b] = jax.jit(partial(self._forward, spec=spec_b))
         return b, self._fwd[b]
 

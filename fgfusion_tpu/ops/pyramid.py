@@ -97,18 +97,27 @@ class PyramidSpec:
         return [r * (2.0 ** l) for l in range(self.num_levels)]
 
 
-def scale_spec(spec: PyramidSpec, n0: int) -> PyramidSpec:
+def scale_spec(spec: PyramidSpec, n0: int,
+               headroom: float = 1.0) -> PyramidSpec:
     """Re-bucket a spec to level-0 capacity n0, scaling the deeper
     capacities proportionally (rounded up to 64). Used by the
     multi-bucket eval path: the reference evaluates full-size test
     clouds (its training-only 30k cap is data_loaders/transforms.py:98;
     PreprocessorGPU handles any N at test,
     finegrained_kpconv.py:431-542), so test pairs pick the smallest
-    bucket that fits instead of being subsampled to one static size."""
-    if n0 == spec.capacities[0]:
+    bucket that fits instead of being subsampled to one static size.
+
+    `headroom` additionally multiplies the level>=1 capacities: train
+    capacities are calibrated on the train distribution's voxel counts,
+    but dense test fragments can occupy more voxels at the same point
+    count (measured: 12633 needed vs 12288 scaled at the 32768 bucket),
+    and the C++ reference never truncates voxels
+    (cpp_wrappers/.../grid_subsampling.cpp:85-95) — eval passes
+    cfg eval_capacity_headroom so protocol runs keep every voxel."""
+    if n0 == spec.capacities[0] and headroom == 1.0:
         return spec
     ratio = n0 / spec.capacities[0]
-    caps = [n0] + [max(64, (int(c * ratio) + 63) // 64 * 64)
+    caps = [n0] + [max(64, (int(c * ratio * headroom) + 63) // 64 * 64)
                    for c in spec.capacities[1:]]
     return dataclasses.replace(spec, capacities=tuple(caps))
 

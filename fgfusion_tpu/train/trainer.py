@@ -156,12 +156,40 @@ def make_test_step(model, spec: PyramidSpec):
     pair with individual blocking `float()` syncs — each a full
     round-trip over the remote TPU tunnel — which made protocol sweeps
     host-bound at <1 pair/s. A slim output pytree is fetched with ONE
-    `jax.device_get` per (batched) call instead."""
+    `jax.device_get` per (batched) call instead.
+
+    cfg `test_ransac: true` additionally refits the FINAL layer's pose
+    with the on-device batched RANSAC over the predicted
+    correspondences, confidence-weighted Gumbel sampling (same wiring
+    as InferenceEngine.register(refine='ransac'); reference analogue:
+    the vendored ransaclib, models/ransaclib/ransac.py:303) — entirely
+    in-graph, so protocol sweeps measure refined RR at no host cost."""
+    cfg = dict(model.cfg)
+    use_ransac = bool(cfg.get("test_ransac", False))
+
     @jax.jit
     def test_step(state: TrainState, batch):
         pred, losses = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, spec, train=False, method=model.forward_with_loss)
+        if use_ransac:
+            from ..models.ransac import ransac_rigid_batch
+            corr_src = jnp.concatenate(
+                [pred["src_kp"], pred["tgt_kp_warped"][-1]], axis=1)
+            corr_tgt = jnp.concatenate(
+                [pred["src_kp_warped"][-1], pred["tgt_kp"]], axis=1)
+            w = jnp.concatenate(
+                [jax.nn.sigmoid(pred["src_overlap"][-1, ..., 0]),
+                 jax.nn.sigmoid(pred["tgt_overlap"][-1, ..., 0])], axis=1)
+            m = jnp.concatenate(
+                [pred["src_mask_c"], pred["tgt_mask_c"]], axis=1)
+            pose_r, _, _ = ransac_rigid_batch(
+                corr_src, corr_tgt, jax.random.PRNGKey(0), weights=w,
+                mask=m, sampler="gumbel",
+                inlier_threshold=float(cfg.get("test_ransac_threshold",
+                                               0.05)))
+            pred = dict(pred)
+            pred["pose"] = pred["pose"].at[-1].set(pose_r)
         metrics = compute_pose_metrics(pred, batch)
         slim = {"pose": pred["pose"],            # (L, B, 3, 4)
                 "n_voxels": pred["n_voxels"]}    # (levels-1, 2B)
@@ -414,9 +442,13 @@ class Trainer:
         cfg = self.cfg
         n0 = spec.capacities[0]
         buckets = sorted(int(b) for b in cfg.get("eval_buckets", [n0]))
+        # voxel-capacity headroom at eval: dense test fragments occupy
+        # more level>=1 voxels than the train-calibrated capacities
+        # allow (see scale_spec docstring) — never drop test geometry
+        headroom = float(cfg.get("eval_capacity_headroom", 1.0))
 
         first = collate_pairs([dataset.__getitem__(0)], buckets[0])
-        spec0 = scale_spec(spec, buckets[0])
+        spec0 = scale_spec(spec, buckets[0], headroom)
         state, tx = create_train_state(model, cfg, spec0, self._put(first),
                                        abstract=True)
         saver = CheckpointManager(resume)
@@ -431,7 +463,8 @@ class Trainer:
         def step_for(bucket: int):
             if bucket not in test_steps:
                 self.logger.info("eval bucket %d: compiling", bucket)
-                test_steps[bucket] = make_test_step(model, scale_spec(spec, bucket))
+                test_steps[bucket] = make_test_step(
+                    model, scale_spec(spec, bucket, headroom))
             return test_steps[bucket]
 
         b0 = int(cfg.get("eval_batch_size", 4))

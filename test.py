@@ -26,6 +26,9 @@ def parse_args():
                    help="exact neighbor search (overrides approx_knn)")
     p.add_argument("--fused_knn", action="store_true",
                    help="fused Pallas approx kNN (overrides fused_knn)")
+    p.add_argument("--ransac", action="store_true",
+                   help="refit the final pose with on-device RANSAC "
+                        "over the predicted correspondences (in-graph)")
     p.add_argument("--logdir", type=str, default="logs")
     p.add_argument("--dev", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
@@ -72,6 +75,8 @@ def main():
 
     if args.weight_th is not None:
         cfg["test_weight_th"] = args.weight_th
+    if args.ransac:
+        cfg["test_ransac"] = True
     if args.exact_knn:
         cfg["approx_knn"] = False
     if args.fused_knn:

@@ -156,6 +156,11 @@ def test_scale_spec_proportional():
     s2 = scale_spec(spec, 1024)
     assert s2.capacities == (1024, 256)
     assert scale_spec(spec, 512) is spec
+    # eval headroom widens only the deeper levels (rounded up to 64)
+    s3 = scale_spec(spec, 1024, headroom=1.35)
+    assert s3.capacities == (1024, 384)   # ceil64(128*2*1.35=345.6)
+    s4 = scale_spec(spec, 512, headroom=1.35)
+    assert s4.capacities == (512, 192)    # same bucket, wider levels
 
 
 def test_multibucket_eval(cfg, tmp_path):

@@ -106,3 +106,30 @@ def test_clnet_learns_inliers(rng):
     probs = np.asarray(jax.nn.sigmoid(logits))[0]
     assert probs[n_out:].mean() > 0.6
     assert probs[:n_out].mean() < 0.4
+
+
+def test_test_step_ransac_refinement():
+    """cfg test_ransac: true refits the final pose in-graph inside
+    make_test_step — shapes preserved, poses finite and orthonormal."""
+    import jax
+    import numpy as np
+    from fgfusion_tpu.models import get_model
+    from fgfusion_tpu.train.trainer import (create_train_state,
+                                            make_test_step)
+    from test_model import TINY_CFG, SPEC, make_batch
+
+    cfg = dict(TINY_CFG, test_ransac=True, test_ransac_threshold=0.05,
+               optimizer="AdamW", base_lr=1e-3, weight_decay=1e-4,
+               grad_clip=0.1, scheduler="step", scheduler_param=[1000, 0.5])
+    model = get_model("finegrained_regtr.RegTR")(cfg=cfg)
+    batch = make_batch(np.random.default_rng(0))
+    state, _ = create_train_state(model, cfg, SPEC, batch)
+    step = make_test_step(model, SPEC)
+    slim, losses, metrics = step(state, batch)
+    pose = np.asarray(slim["pose"])
+    assert pose.shape == (TINY_CFG["num_encoder_layers"], 2, 3, 4)
+    assert np.all(np.isfinite(pose))
+    R = pose[-1][..., :3]
+    eye = np.einsum("bij,bkj->bik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-3)

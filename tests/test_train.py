@@ -284,6 +284,41 @@ def test_tp_train_step_matches_dp(setup):
     assert any(ax == "model" for ax in q.sharding.spec)
 
 
+def test_multistep_tp_training_matches_single_device(setup):
+    """Sustained DP x TP (4x2) training must also reproduce the
+    single-device loss trajectory: Megatron-split weights + GSPMD
+    psums have to compose with the optimizer update across MANY steps
+    (split optimizer moments included), not just the one step
+    test_tp_train_step_matches_dp covers."""
+    from fgfusion_tpu.parallel import make_mesh_2d, shard_tree
+
+    model, tx, fresh_state, _ = setup
+    n_steps = 10
+    rng = np.random.default_rng(12)
+    batches = [make_batch(rng, b=8) for _ in range(n_steps)]
+    step = make_train_step(model, tx, SPEC)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    state1 = fresh_state()
+    traj1 = []
+    for b in batches:
+        state1, losses = step(state1, shard_batch(b, mesh1))
+        traj1.append(float(losses["total"]))
+
+    mesh42 = make_mesh_2d(4, 2)
+    state_tp = shard_tree(fresh_state(), mesh42)
+    traj_tp = []
+    for b in batches:
+        state_tp, losses = step(state_tp, shard_batch(b, mesh42))
+        traj_tp.append(float(losses["total"]))
+
+    np.testing.assert_allclose(traj1, traj_tp, rtol=5e-3)
+    # the transformer weights are STILL model-split after N updates
+    q = state_tp.params["transformer_encoder"]["layer_0"][
+        "self_attn"]["q_proj"]["kernel"]
+    assert any(ax == "model" for ax in q.sharding.spec)
+
+
 def test_multistep_mesh_training_matches_single_device(setup):
     """A sustained multi-step DP training run over the 8-device mesh
     must reproduce the single-device loss trajectory (same batches,

@@ -32,6 +32,10 @@ VARIANTS = {
     "knn_chunk_4096": dict(knn_chunk=4096),
     "knn_chunk_12288": dict(knn_chunk=12288),
     "fused_knn": dict(fused_knn=True),
+    # round-3: force the fused coords+feats+sum gather to stay ONE
+    # gather (XLA otherwise splits the concat into per-operand narrow
+    # gathers, each paying the 128-lane row cost)
+    "gather_barrier": dict(_cfg=dict(gather_barrier=True)),
 }
 
 
@@ -58,12 +62,17 @@ def main():
     names = (args.only.split(",") if args.only else list(VARIANTS))
     variables = None
     for name in names:
-        spec = bench_spec(args.n0, **VARIANTS[name])
+        overrides = dict(VARIANTS[name])
+        cfg_over = overrides.pop("_cfg", None)
+        spec = bench_spec(args.n0, **overrides)
+        vmodel = model if not cfg_over else \
+            get_model("finegrained_regtr.RegTR")(cfg=dict(cfg, **cfg_over))
         if variables is None:
             variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                    spec, train=False)
 
-        fwd = jax.jit(lambda v, b, s=spec: model.apply(v, b, s, train=False))
+        fwd = jax.jit(lambda v, b, s=spec, m=vmodel: m.apply(v, b, s,
+                                                             train=False))
         t0 = time.perf_counter()
         out = fwd(variables, batch)
         jax.block_until_ready(out)
