@@ -524,11 +524,19 @@ class Trainer:
                                  n_done, len(dataset), rate)
 
         inflight = collections.deque()
+        # wall-clock of the first drained batch: separates one-time
+        # startup (restore + per-bucket jit/cache-load, minutes via the
+        # remote compile relay) from the steady-state sweep rate
+        t_first = [None]
+        n_at_first = [0]
 
         def drain_one():
             bucket, items, host_batch, dev = inflight.popleft()
             # ONE transfer for the whole batched result
             slim, losses, metrics = jax.device_get(dev)
+            if t_first[0] is None:
+                t_first[0] = time.time()
+                n_at_first[0] = n_done
             nv = np.max(slim["n_voxels"], axis=-1) if slim["n_voxels"].size \
                 else np.zeros((0,), np.int32)
             worst_voxels[bucket] = np.maximum(
@@ -605,8 +613,17 @@ class Trainer:
                 "were subsampled — add a larger bucket to eval_buckets "
                 "for full protocol fidelity", n_subsampled, len(dataset),
                 buckets[-1])
+        t_end = time.time()
+        sweep_pps = (n_done - n_at_first[0]) / max(t_end - t_first[0], 1e-9) \
+            if t_first[0] is not None and n_done > n_at_first[0] else 0.0
+        self.logger.info(
+            "test sweep: %d pairs, %.1fs total (%.1fs startup: restore + "
+            "bucket compiles/cache loads), steady-state %.2f pairs/s",
+            n_done, t_end - t0,
+            (t_first[0] or t_end) - t0, sweep_pps)
         results: Dict = {"metrics": avgs,
-                         "pairs_per_sec": len(dataset) / (time.time() - t0),
+                         "pairs_per_sec": len(dataset) / (t_end - t0),
+                         "sweep_pairs_per_sec": sweep_pps,
                          "n_subsampled": n_subsampled}
 
         if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
