@@ -36,6 +36,12 @@ VARIANTS = {
     # gather (XLA otherwise splits the concat into per-operand narrow
     # gathers, each paying the 128-lane row cost)
     "gather_barrier": dict(_cfg=dict(gather_barrier=True)),
+    # round-3: serving throughput at batch>1 — the batch-1 forward is
+    # memory-LATENCY-bound (1.7 flops/byte, gather rows), so batching
+    # pairs should amortize row latency and raise pairs/s superlinearly
+    # vs the naive 1/dt expectation
+    "batch2": dict(_batch=2),
+    "batch4": dict(_batch=4),
 }
 
 
@@ -64,27 +70,29 @@ def main():
     for name in names:
         overrides = dict(VARIANTS[name])
         cfg_over = overrides.pop("_cfg", None)
+        b = overrides.pop("_batch", 1)
         spec = bench_spec(args.n0, **overrides)
         vmodel = model if not cfg_over else \
             get_model("finegrained_regtr.RegTR")(cfg=dict(cfg, **cfg_over))
+        vbatch = batch if b == 1 else _make_batch(b=b, n0=args.n0)
         if variables is None:
             variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                    spec, train=False)
 
-        fwd = jax.jit(lambda v, b, s=spec, m=vmodel: m.apply(v, b, s,
-                                                             train=False))
+        fwd = jax.jit(lambda v, bt, s=spec, m=vmodel: m.apply(v, bt, s,
+                                                              train=False))
         t0 = time.perf_counter()
-        out = fwd(variables, batch)
+        out = fwd(variables, vbatch)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fwd(variables, batch)
+            out = fwd(variables, vbatch)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
         over = out.get("n_page_overflow")
         over = int(over.sum()) if over is not None and over.size else 0
-        print(f"{name:22s} {dt * 1e3:8.2f} ms  {1.0 / dt:7.2f} pairs/s  "
+        print(f"{name:22s} {dt * 1e3:8.2f} ms  {b / dt:7.2f} pairs/s  "
               f"(compile+warm {t_compile:.0f}s, page_overflow={over})",
               flush=True)
 
