@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .neighbors import radius_knn
 from .paged_gather import build_page_table
-from .sorting import sort_cloud
+from .sorting import cloud_bbox, sort_cloud, sort_cloud_with_codes
 from .voxel import grid_subsample
 
 
@@ -56,6 +56,19 @@ class PyramidSpec:
     spatial_sort: bool = False   # Morton-sort level 0 (levels >= 1 are
                                  # voxel-lex-sorted by grid_subsample);
                                  # required for effective paged gathers
+    knn_band_frac: float = 0.0   # banded neighbor search: window =
+                                 # frac * Ns (rounded to 256) per tile
+                                 # of knn_band_chunk sorted queries;
+                                 # 0 = off. Implies Morton-sorting
+                                 # EVERY level (shared frame) so code
+                                 # ranks align across levels. An extra
+                                 # approximation (recall measured in
+                                 # tools/band_recall.py, DESIGN.md §13)
+    knn_band_chunk: int = 512    # query tile for the banded search
+    knn_band_min_ns: int = 4096  # only band levels with >= this many
+                                 # supports (coarse levels are cheap to
+                                 # search fully and band worst: recall
+                                 # table in DESIGN.md §13)
     paged_p_max: Tuple[int, ...] = ()  # per-level page-list capacity for
                                  # the paged one-hot gather (0 = no page
                                  # table at that level; () disables)
@@ -79,6 +92,9 @@ class PyramidSpec:
             fused_knn=bool(cfg.get("fused_knn", False)),
             knn_chunk=int(cfg.get("knn_chunk", 2048)),
             spatial_sort=bool(cfg.get("spatial_sort", False)),
+            knn_band_frac=float(cfg.get("knn_band_frac", 0.0)),
+            knn_band_chunk=int(cfg.get("knn_band_chunk", 512)),
+            knn_band_min_ns=int(cfg.get("knn_band_min_ns", 4096)),
             paged_p_max=tuple(cfg.get("paged_p_max", ())),
         )
 
@@ -175,7 +191,21 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
         "upsamples": [],
         "n_voxels": [],
     }
-    if spec.spatial_sort:
+    use_band = spec.knn_band_frac > 0.0
+    codes = None
+    bbox = None
+    if use_band:
+        # banding needs every level Morton-sorted in one shared frame
+        # so code RANKS align between a coarse level and its fine
+        # supports (the window centering is rank matching).
+        bbox = jax.vmap(cloud_bbox)(points, mask)
+        points, mask, order, codes = jax.vmap(sort_cloud_with_codes)(
+            points, mask, *bbox)
+        out["points"][0], out["masks"][0] = points, mask
+        out["order"] = order
+        out["codes"] = [codes]  # per-level sorted Morton codes (tests
+                                # and tools/band_recall.py)
+    elif spec.spatial_sort:
         points, mask, order = jax.vmap(sort_cloud)(points, mask)
         out["points"][0], out["masks"][0] = points, mask
         out["order"] = order
@@ -185,14 +215,32 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
         out["pages"] = {}
         out["n_page_overflow"] = []
 
-    knn_b = jax.vmap(
-        lambda q, qm, s, sm, radius, k: radius_knn(
-            q, qm, s, sm, radius=radius, k=k, approx=spec.approx_knn,
-            fused=spec.fused_knn, chunk=spec.knn_chunk),
-        in_axes=(0, 0, 0, 0, None, None))
+    def band_for(ns: int) -> int:
+        """Window width for a support axis of ns rows (0 = unbanded).
+        Below knn_band_min_ns rows the full search is cheap (one MXU
+        tile group) while Morton window recall is at its worst."""
+        if not use_band or ns < max(4096, spec.knn_band_min_ns):
+            return 0
+        w = min(ns, max(2048, -(-int(ns * spec.knn_band_frac) // 256) * 256))
+        return 0 if w >= ns else w
+
+    def knn_b(q, qm, s, sm, radius, k, qc=None, sc=None):
+        w = band_for(s.shape[1])
+        if w and qc is not None and sc is not None:
+            fn = lambda a, b, c, d, e, f: radius_knn(
+                a, b, c, d, radius=radius, k=k, approx=spec.approx_knn,
+                fused=spec.fused_knn, chunk=spec.knn_chunk, band=w,
+                band_chunk=spec.knn_band_chunk, q_codes=e, s_codes=f)
+            return jax.vmap(fn)(q, qm, s, sm, qc, sc)
+        fn = lambda a, b, c, d: radius_knn(
+            a, b, c, d, radius=radius, k=k, approx=spec.approx_knn,
+            fused=spec.fused_knn, chunk=spec.knn_chunk)
+        return jax.vmap(fn)(q, qm, s, sm)
+
     sub_b = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
 
     cur_pts, cur_mask = points, mask
+    cur_codes = codes
     for level, (blocks, strided) in enumerate(groups):
         k = int(spec.neighborhood_limits[level])
 
@@ -205,7 +253,8 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
             r_conv = (r_normal * spec.deform_radius / spec.conv_radius
                       if any("deformable" in blk for blk in blocks[:-1])
                       else r_normal)
-            conv_i = knn_b(cur_pts, cur_mask, cur_pts, cur_mask, r_conv, k)
+            conv_i = knn_b(cur_pts, cur_mask, cur_pts, cur_mask, r_conv, k,
+                           cur_codes, cur_codes)
         else:
             # pooling-only level (reference emits an empty table here)
             conv_i = jnp.full(cur_pts.shape[:2] + (k,), cur_pts.shape[1], jnp.int32)
@@ -224,22 +273,34 @@ def build_pyramid(points: jax.Array, mask: jax.Array, spec: PyramidSpec) -> Dict
             cell = 2.0 * r_normal / spec.conv_radius
             cap = int(spec.capacities[level + 1])
             pool_p, pool_m, n_vox = sub_b(cur_pts, cur_mask, cell, cap)
+            pool_codes = None
+            if use_band:
+                # re-sort the coarse level from voxel-lex to Morton in
+                # the shared frame (order is semantically free: all its
+                # tables are computed below, and per-point labels only
+                # exist at level 0)
+                pool_p, pool_m, _, pool_codes = jax.vmap(
+                    sort_cloud_with_codes)(pool_p, pool_m, *bbox)
             # a deformable strided block pools over the wider radius
             # (finegrained_kpconv.py:498-499)
             r_pool = (r_normal * spec.deform_radius / spec.conv_radius
                       if "deformable" in strided else r_normal)
-            pool_i = knn_b(pool_p, pool_m, cur_pts, cur_mask, r_pool, k)
+            pool_i = knn_b(pool_p, pool_m, cur_pts, cur_mask, r_pool, k,
+                           pool_codes, cur_codes)
 
             out["points"].append(pool_p)
             out["masks"].append(pool_m)
             out["pools"].append(pool_i)
             if spec.need_upsamples:
                 up_i = knn_b(cur_pts, cur_mask, pool_p, pool_m,
-                             2.0 * r_normal, k)
+                             2.0 * r_normal, k, cur_codes, pool_codes)
                 out["upsamples"].append(up_i)
             out["n_voxels"].append(n_vox)
 
             cur_pts, cur_mask = pool_p, pool_m
+            cur_codes = pool_codes
+            if use_band:
+                out["codes"].append(pool_codes)
             r_normal *= 2.0
 
     return out

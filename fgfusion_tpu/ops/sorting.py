@@ -33,12 +33,24 @@ def _spread3(v: jax.Array) -> jax.Array:
     return v
 
 
-def morton_code(points: jax.Array, mask: jax.Array) -> jax.Array:
-    """(N, 3) f32 + (N,) bool -> (N,) int32 Morton codes; invalid
-    points get the maximum code so they sort last."""
+def cloud_bbox(points: jax.Array, mask: jax.Array):
+    """(lo, extent) of the valid points — the Morton quantization frame.
+    Shared across pyramid levels so codes are rank-comparable between a
+    coarse level and its fine supports (banded kNN, neighbors.py)."""
     lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
     hi = jnp.max(jnp.where(mask[:, None], points, -jnp.inf), axis=0)
     extent = jnp.maximum(jnp.max(hi - lo), 1e-9)
+    return lo, extent
+
+
+def morton_code(points: jax.Array, mask: jax.Array,
+                lo: jax.Array | None = None,
+                extent: jax.Array | None = None) -> jax.Array:
+    """(N, 3) f32 + (N,) bool -> (N,) int32 Morton codes; invalid
+    points get the maximum code so they sort last. Pass (lo, extent)
+    to quantize in a shared frame (see cloud_bbox)."""
+    if lo is None or extent is None:
+        lo, extent = cloud_bbox(points, mask)
     q = ((points - lo) / extent * (2**_BITS - 1)).astype(jnp.int32)
     q = jnp.clip(q, 0, 2**_BITS - 1)
     code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
@@ -56,3 +68,13 @@ def sort_cloud(points: jax.Array, mask: jax.Array):
     """Apply the Morton permutation. Returns (points, mask, order)."""
     order = morton_order(points, mask)
     return points[order], mask[order], order
+
+
+def sort_cloud_with_codes(points: jax.Array, mask: jax.Array,
+                          lo: jax.Array, extent: jax.Array):
+    """Morton-sort in a shared frame; also return the sorted codes.
+    Returns (points, mask, order, codes) — codes ascending, invalid
+    points (code 0x7FFFFFFF) last."""
+    codes = morton_code(points, mask, lo, extent)
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    return points[order], mask[order], order, codes[order]

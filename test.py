@@ -26,6 +26,11 @@ def parse_args():
                    help="exact neighbor search (overrides approx_knn)")
     p.add_argument("--fused_knn", action="store_true",
                    help="fused Pallas approx kNN (overrides fused_knn)")
+    p.add_argument("--knn_band", type=float, default=None, metavar="FRAC",
+                   help="Morton-banded neighbor search: window = FRAC * "
+                        "Ns on levels with >= knn_band_min_ns supports "
+                        "(DESIGN.md §13). Accuracy-validation flag for "
+                        "the banded perf variant")
     p.add_argument("--ransac", action="store_true",
                    help="refit the final pose with on-device RANSAC "
                         "over the predicted correspondences (in-graph)")
@@ -79,6 +84,8 @@ def main():
         cfg["test_ransac"] = True
     if args.exact_knn:
         cfg["approx_knn"] = False
+    if args.knn_band is not None:
+        cfg["knn_band_frac"] = args.knn_band
     if args.fused_knn:
         if args.exact_knn:
             sys.exit("--fused_knn requires the approximate path; it "

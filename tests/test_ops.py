@@ -248,3 +248,105 @@ def test_radius_knn_approx_recall(rng):
         assert all(x < radius for x in d)
     recall = hits / max(total, 1)
     assert recall > 0.9, f"approx recall too low: {recall:.3f}"
+
+
+def test_banded_knn_exact_when_window_covers(rng):
+    """With the window wide enough to cover every true neighborhood,
+    the banded search must be index-identical to the full exact
+    search on the same sorted arrays."""
+    from fgfusion_tpu.ops.sorting import cloud_bbox, sort_cloud_with_codes
+
+    # 1D cloud: Morton rank distance is bounded by density * radius,
+    # so a W=256 window provably covers every radius-0.02 neighborhood
+    # (in 3D, Morton boundary-plane crossings make worst-case rank
+    # distance unbounded — that case is the recall test below).
+    n, k, radius = 1024, 12, 0.02
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(size=n).astype(np.float32)
+    m = np.ones(n, bool)
+    lo, ext = cloud_bbox(jnp.asarray(pts), jnp.asarray(m))
+    p, mm, _, codes = sort_cloud_with_codes(
+        jnp.asarray(pts), jnp.asarray(m), lo, ext)
+    full = np.asarray(radius_knn(p, mm, p, mm, radius=radius, k=k))
+    band = np.asarray(radius_knn(p, mm, p, mm, radius=radius, k=k,
+                                 band=256, band_chunk=64,
+                                 q_codes=codes, s_codes=codes))
+    # compare as sets per query (top-k tie order may differ)
+    for i in range(n):
+        assert set(full[i].tolist()) == set(band[i].tolist())
+
+
+def test_banded_knn_recall_and_validity(rng):
+    """At a realistic window ratio (W = Ns/2 on a volumetric blob —
+    the worst case for Morton locality) the banded search keeps nearly
+    all true neighbors and never returns an out-of-radius or invalid
+    support."""
+    from fgfusion_tpu.ops.sorting import cloud_bbox, sort_cloud_with_codes
+
+    n, k, radius = 2048, 16, 0.12
+    pts = rng.uniform(size=(n, 3)).astype(np.float32)
+    m = np.ones(n, bool)
+    m[-200:] = False
+    pts[-200:] = 1e6
+    lo, ext = cloud_bbox(jnp.asarray(pts), jnp.asarray(m))
+    p, mm, _, codes = sort_cloud_with_codes(
+        jnp.asarray(pts), jnp.asarray(m), lo, ext)
+    pn, mn = np.asarray(p), np.asarray(mm)
+    full = np.asarray(radius_knn(p, mm, p, mm, radius=radius, k=k))
+    band = np.asarray(radius_knn(p, mm, p, mm, radius=radius, k=k,
+                                 band=1024, band_chunk=256,
+                                 q_codes=codes, s_codes=codes))
+    assert np.all(band[~mn] == n)          # invalid queries -> sentinel
+    hits = tot = 0
+    for i in np.nonzero(mn)[0]:
+        e = set(j for j in full[i] if j < n)
+        b = set(j for j in band[i] if j < n)
+        tot += len(e)
+        hits += len(e & b)
+        for j in b:
+            assert mn[j]                   # only valid supports
+            assert np.linalg.norm(pn[i] - pn[j]) < radius
+    assert hits / max(tot, 1) > 0.95, hits / max(tot, 1)
+
+
+def test_banded_pyramid_runs_and_matches(rng):
+    """build_pyramid with knn_band_frac: every level Morton-sorted
+    (codes returned, ascending with padding last), and each table
+    recovers nearly all of the full-width search's neighbors computed
+    on the SAME sorted arrays — across levels, i.e. the cross-level
+    rank alignment of the shared Morton frame works."""
+    C, n0 = 2, 4096
+    pts = (rng.normal(size=(C, n0, 3)) * 0.5).astype(np.float32)
+    mask = np.ones((C, n0), bool)
+    mask[0, -300:] = False
+    pts[0, -300:] = 1e6
+    spec = PyramidSpec(
+        architecture=("simple", "resnetb", "resnetb_strided", "resnetb",
+                      "resnetb_strided", "resnetb"),
+        first_subsampling_dl=0.06, conv_radius=2.5,
+        neighborhood_limits=(16, 16, 16), capacities=(n0, 1024, 256),
+        knn_band_frac=0.34)
+    meta = jax.jit(build_pyramid, static_argnums=2)(
+        jnp.asarray(pts), jnp.asarray(mask), spec)
+    assert "order" in meta and len(meta["codes"]) == 3
+    radii = spec.level_radii()
+    for lvl, (tbl, is_pool) in enumerate(
+            [(meta["neighbors"][0], False), (meta["pools"][0], True)]):
+        s, sm = meta["points"][0], meta["masks"][0]
+        q, qm = (meta["points"][1], meta["masks"][1]) if is_pool else (s, sm)
+        codes = np.asarray(meta["codes"][0])
+        for ci in range(C):
+            assert np.all(np.diff(codes[ci]) >= 0)   # sorted ascending
+            full = np.asarray(radius_knn(q[ci], qm[ci], s[ci], sm[ci],
+                                         radius=radii[0], k=16))
+            got = np.asarray(tbl[ci])
+            hits = tot = 0
+            for i in range(got.shape[0]):
+                e = set(j for j in full[i] if j < n0)
+                b = set(j for j in got[i] if j < n0)
+                tot += len(e)
+                hits += len(e & b)
+            # 0.93 floor: a dense volumetric blob is the worst case
+            # for Morton locality (the real scan workload measures
+            # higher — tools/band_recall.py, DESIGN.md §13)
+            assert hits / max(tot, 1) > 0.93, (is_pool, ci, hits / tot)

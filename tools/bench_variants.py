@@ -42,6 +42,19 @@ VARIANTS = {
     # vs the naive 1/dt expectation
     "batch2": dict(_batch=2),
     "batch4": dict(_batch=4),
+    # round-3: banded kNN — Morton-sorted levels, per-tile support
+    # windows (W = frac * Ns). Cuts the (Nq, Ns) distance matrix, its
+    # d2 HBM round trip, and the top-k width ~3x, and replaces the
+    # lax.map chunk loop with one batched einsum. Window recall
+    # measured in tools/band_recall.py; accuracy must be re-validated
+    # on a trained model before shipping as default (DESIGN.md §13).
+    "banded_034": dict(knn_band_frac=0.34),
+    "banded_025": dict(knn_band_frac=0.25),
+    "banded_034_bc1024": dict(knn_band_frac=0.34, knn_band_chunk=1024),
+    # L0-only banding: coarse levels searched fully (recall >= 0.94
+    # everywhere on the bench workload — DESIGN.md §13 table) at
+    # nearly the same saving, since L0 is ~8/9 of the distance work
+    "banded_034_L0": dict(knn_band_frac=0.34, knn_band_min_ns=8192),
 }
 
 
