@@ -132,22 +132,37 @@ class InferenceEngine:
             "pose_all_layers": np.asarray(pred["pose"])[:, 0],
         }
 
-        if refine == "ransac":
+        if refine in ("ransac", "ransac_select"):
             import jax
-            from .models.ransac import ransac_rigid
+            from .models.ransac import ransac_rigid, weighted_inlier_score
             corr_src = np.concatenate([info["src_kp"], info["tgt_kp_warped"]])
             corr_tgt = np.concatenate([info["src_kp_warped"], info["tgt_kp"]])
             weights = np.concatenate([info["src_overlap"], info["tgt_overlap"]])
+            thr = float(self.cfg.get("overlap_radius", 0.0375)) * 2
             refined, inliers, score = ransac_rigid(
                 np.asarray(corr_src, np.float32),
                 np.asarray(corr_tgt, np.float32),
                 jax.random.PRNGKey(seed),
                 weights=np.asarray(weights, np.float32),
                 num_hypotheses=256,
-                inlier_threshold=float(self.cfg.get("overlap_radius", 0.0375)) * 2)
+                inlier_threshold=thr)
             info["ransac_inliers"] = np.asarray(inliers)
             info["ransac_score"] = float(score)
-            pose = np.asarray(refined)
+            if refine == "ransac_select":
+                # keep whichever pose has the higher weighted inlier
+                # count (learned pose wins on high-inlier pairs)
+                cs = np.asarray(corr_src, np.float32)
+                ct = np.asarray(corr_tgt, np.float32)
+                wf = np.asarray(weights, np.float32)
+                s_r = float(weighted_inlier_score(refined, cs, ct, wf,
+                                                  threshold=thr))
+                s_l = float(weighted_inlier_score(pose, cs, ct, wf,
+                                                  threshold=thr))
+                info["select_scores"] = {"learned": s_l, "ransac": s_r}
+                if s_r > s_l:
+                    pose = np.asarray(refined)
+            else:
+                pose = np.asarray(refined)
         return pose, info
 
 

@@ -139,6 +139,27 @@ def ransac_rigid(
     return best_pose, inliers, score[best]
 
 
+def weighted_inlier_score(pose, src, tgt, weights=None, mask=None,
+                          threshold: float = 0.05):
+    """Confidence-weighted inlier count of `pose` on correspondences.
+
+    pose (..., 3, 4), src/tgt (..., N, 3) -> (...,). Used to SELECT
+    between the learned gated-Kabsch pose and the RANSAC hypothesis
+    per pair (the measured trade-off: RANSAC wins low-overlap pairs,
+    the learned pose wins high-inlier ones — STATUS.md round 3). The
+    reference always takes the RANSAC output when refinement is on
+    (models/ransaclib/ransac.py:303); selection is a strict
+    generalization, scored by the same residual threshold.
+    """
+    res2 = squared_residuals(pose, src, tgt)           # (..., N)
+    inl = (res2 < threshold * threshold).astype(src.dtype)
+    if weights is not None:
+        inl = inl * weights
+    if mask is not None:
+        inl = inl * mask.astype(src.dtype)
+    return jnp.sum(inl, axis=-1)
+
+
 def ransac_rigid_batch(src, tgt, key, **kwargs):
     """vmapped over the leading batch axis; keys split per pair."""
     b = src.shape[0]

@@ -163,9 +163,15 @@ def make_test_step(model, spec: PyramidSpec):
     correspondences, confidence-weighted Gumbel sampling (same wiring
     as InferenceEngine.register(refine='ransac'); reference analogue:
     the vendored ransaclib, models/ransaclib/ransac.py:303) — entirely
-    in-graph, so protocol sweeps measure refined RR at no host cost."""
+    in-graph, so protocol sweeps measure refined RR at no host cost.
+
+    cfg `test_ransac_select: true` keeps BOTH candidate poses and picks
+    the per-pair winner by confidence-weighted inlier count (measured:
+    RANSAC wins low-overlap pairs, the learned pose wins high-inlier
+    ones — selection captures both regimes)."""
     cfg = dict(model.cfg)
-    use_ransac = bool(cfg.get("test_ransac", False))
+    use_select = bool(cfg.get("test_ransac_select", False))
+    use_ransac = bool(cfg.get("test_ransac", False)) or use_select
 
     @jax.jit
     def test_step(state: TrainState, batch):
@@ -183,11 +189,19 @@ def make_test_step(model, spec: PyramidSpec):
                  jax.nn.sigmoid(pred["tgt_overlap"][-1, ..., 0])], axis=1)
             m = jnp.concatenate(
                 [pred["src_mask_c"], pred["tgt_mask_c"]], axis=1)
+            thr = float(cfg.get("test_ransac_threshold", 0.05))
             pose_r, _, _ = ransac_rigid_batch(
                 corr_src, corr_tgt, jax.random.PRNGKey(0), weights=w,
-                mask=m, sampler="gumbel",
-                inlier_threshold=float(cfg.get("test_ransac_threshold",
-                                               0.05)))
+                mask=m, sampler="gumbel", inlier_threshold=thr)
+            if use_select:
+                from ..models.ransac import weighted_inlier_score
+                pose_l = pred["pose"][-1]                      # (B, 3, 4)
+                s_r = weighted_inlier_score(
+                    pose_r, corr_src, corr_tgt, w, m, thr)
+                s_l = weighted_inlier_score(
+                    pose_l, corr_src, corr_tgt, w, m, thr)
+                pose_r = jnp.where((s_r > s_l)[:, None, None],
+                                   pose_r, pose_l)
             pred = dict(pred)
             pred["pose"] = pred["pose"].at[-1].set(pose_r)
         metrics = compute_pose_metrics(pred, batch)

@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--ransac", action="store_true",
                    help="refit the final pose with on-device RANSAC "
                         "over the predicted correspondences (in-graph)")
+    p.add_argument("--ransac_select", action="store_true",
+                   help="run RANSAC but keep the learned pose when it "
+                        "scores more weighted inliers (per-pair "
+                        "selection; best of both regimes)")
     p.add_argument("--logdir", type=str, default="logs")
     p.add_argument("--dev", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
@@ -82,6 +86,8 @@ def main():
         cfg["test_weight_th"] = args.weight_th
     if args.ransac:
         cfg["test_ransac"] = True
+    if args.ransac_select:
+        cfg["test_ransac_select"] = True
     if args.exact_knn:
         cfg["approx_knn"] = False
     if args.knn_band is not None:

@@ -77,3 +77,12 @@ def test_inference_ransac_refinement(tmp_path, rng):
     RtR = pose[:3, :3] @ pose[:3, :3].T
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-3)
     assert "ransac_inliers" in info and "ransac_score" in info
+
+    # refine='ransac_select': the returned pose must be one of the two
+    # candidates (learned or ransac), picked by weighted inlier score
+    pose_plain, _ = engine.register(src, tgt)
+    pose_sel, info_sel = engine.register(src, tgt, refine="ransac_select")
+    assert "select_scores" in info_sel
+    s = info_sel["select_scores"]
+    want = pose if s["ransac"] > s["learned"] else pose_plain
+    np.testing.assert_allclose(pose_sel, want, atol=1e-6)

@@ -108,6 +108,75 @@ def test_clnet_learns_inliers(rng):
     assert probs[:n_out].mean() < 0.4
 
 
+def test_weighted_inlier_score_selects_better_pose(rng):
+    """Selection metric: the true pose must outscore a perturbed one on
+    clean correspondences, and an identity pose must outscore the true
+    pose when the correspondences are (mostly) junk it happens to fit."""
+    from fgfusion_tpu.models.ransac import weighted_inlier_score
+
+    src, tgt, pose, n_out = make_contaminated_pair(rng, outlier_frac=0.3)
+    w = jnp.ones(200)
+    m = jnp.ones(200, bool)
+    good = jnp.asarray(np.asarray(pose, np.float32))
+    bad_r = se3_np.sample_pose_small(np.random.default_rng(7), std=0.5)
+    bad = jnp.asarray((np.asarray(pose) @ np.vstack(
+        [bad_r, [0, 0, 0, 1]]).astype(np.float32)))
+    s_good = weighted_inlier_score(good, jnp.asarray(src), jnp.asarray(tgt),
+                                   w, m, threshold=0.05)
+    s_bad = weighted_inlier_score(bad, jnp.asarray(src), jnp.asarray(tgt),
+                                  w, m, threshold=0.05)
+    assert float(s_good) > float(s_bad)
+    # weights gate the count: zeroing the true inliers flips the margin
+    w0 = np.ones(200, np.float32)
+    w0[n_out:] = 0.0
+    s_goodw = weighted_inlier_score(good, jnp.asarray(src),
+                                    jnp.asarray(tgt), jnp.asarray(w0), m,
+                                    threshold=0.05)
+    assert float(s_goodw) < float(s_good)
+    # batched shape: (B,) out for (B, 3, 4) poses
+    sb = weighted_inlier_score(jnp.stack([good, bad]),
+                               jnp.stack([jnp.asarray(src)] * 2),
+                               jnp.stack([jnp.asarray(tgt)] * 2),
+                               jnp.stack([w, w]), jnp.stack([m, m]),
+                               threshold=0.05)
+    assert sb.shape == (2,)
+    assert float(sb[0]) > float(sb[1])
+
+
+def test_test_step_ransac_select_keeps_better():
+    """cfg test_ransac_select: the final pose equals the plain-eval
+    learned pose OR the ransac pose per pair, picked by inlier score —
+    and never a third value."""
+    import numpy as np
+    from fgfusion_tpu.models import get_model
+    from fgfusion_tpu.train.trainer import (create_train_state,
+                                            make_test_step)
+    from test_model import TINY_CFG, SPEC, make_batch
+
+    base = dict(TINY_CFG, optimizer="AdamW", base_lr=1e-3,
+                weight_decay=1e-4, grad_clip=0.1, scheduler="step",
+                scheduler_param=[1000, 0.5])
+    batch = make_batch(np.random.default_rng(0))
+
+    poses = {}
+    for name, extra in [("plain", {}),
+                        ("ransac", dict(test_ransac=True,
+                                        test_ransac_threshold=0.05)),
+                        ("select", dict(test_ransac_select=True,
+                                        test_ransac_threshold=0.05))]:
+        cfg = dict(base, **extra)
+        model = get_model("finegrained_regtr.RegTR")(cfg=cfg)
+        state, _ = create_train_state(model, cfg, SPEC, batch)
+        slim, _, _ = make_test_step(model, SPEC)(state, batch)
+        poses[name] = np.asarray(slim["pose"])[-1]  # (B, 3, 4)
+
+    assert np.all(np.isfinite(poses["select"]))
+    for b in range(poses["select"].shape[0]):
+        d_plain = np.abs(poses["select"][b] - poses["plain"][b]).max()
+        d_ransac = np.abs(poses["select"][b] - poses["ransac"][b]).max()
+        assert min(d_plain, d_ransac) < 1e-5, (b, d_plain, d_ransac)
+
+
 def test_test_step_ransac_refinement():
     """cfg test_ransac: true refits the final pose in-graph inside
     make_test_step — shapes preserved, poses finite and orthonormal."""
