@@ -83,7 +83,11 @@ class InferenceEngine:
             "pose": np.eye(4, dtype=np.float32)[None, :3],
         }
         state, _ = create_train_state(model, cfg, spec, dummy, abstract=True)
-        state, _ = CheckpointManager(ckpt_dir).load(state, best=True)
+        if ckpt_dir.endswith(".npz"):
+            from .train.snapshot import load_params_npz
+            state, _ = load_params_npz(ckpt_dir, state)
+        else:
+            state, _ = CheckpointManager(ckpt_dir).load(state, best=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return cls(model, variables, spec, cfg)
 

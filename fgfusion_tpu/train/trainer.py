@@ -309,10 +309,19 @@ class Trainer:
             from ..parallel.tp import shard_tree
             state = shard_tree(state, self.mesh)
         if resume:
-            saver = CheckpointManager(resume) if resume != self.saver.save_dir \
-                else self.saver
-            state, step0 = saver.load(state)
-            self.logger.info("resumed from step %d", step0)
+            if resume.endswith(".npz"):
+                # params-only snapshot: optimizer state starts fresh
+                # (durability path — see train/snapshot.py)
+                from .snapshot import load_params_npz
+                state, step0 = load_params_npz(resume, state)
+                self.logger.info(
+                    "warm-started params from snapshot %s (step %d); "
+                    "optimizer state fresh", resume, step0)
+            else:
+                saver = CheckpointManager(resume) if resume != self.saver.save_dir \
+                    else self.saver
+                state, step0 = saver.load(state)
+                self.logger.info("resumed from step %d", step0)
 
         train_step = make_train_step(model, tx, spec)
         eval_step = make_eval_step(model, spec)
@@ -403,12 +412,15 @@ class Trainer:
                                            step=step, spec=spec)
                     host_snapshot = jax.device_get(state)
                     snapshot_step = step
-                    self.saver.save(step, host_snapshot, score=score)
+                    if self.saver.save(step, host_snapshot, score=score):
+                        self._mirror_best(host_snapshot, score)
             epoch += 1
 
         score = self._validate(eval_step, state, val_loader, step=step,
                                spec=spec)
-        self.saver.save(step, jax.device_get(state), score=score)
+        final_host = jax.device_get(state)
+        if self.saver.save(step, final_host, score=score):
+            self._mirror_best(final_host, score)
         self.saver.wait()
         if skipped_acc is not None:
             n_skipped = float(skipped_acc)
@@ -416,6 +428,22 @@ class Trainer:
                          step, int(n_skipped), self.saver.best_score,
                          self.saver.best_step)
         return state
+
+    # ------------------------------------------------------------------
+    def _mirror_best(self, host_state, score: float):
+        """Mirror the new-best params into a small git-trackable npz
+        (results/snapshots/) so a host reset cannot lose the trained
+        model — orbax checkpoints live in gitignored logs/ and a
+        round-3 VM reset erased all of them."""
+        import os
+
+        from .snapshot import save_params_npz
+        d = os.path.join("results", "snapshots")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{self.cfg.get('expt_name', 'model')}_best.npz")
+        save_params_npz(path, host_state, meta={"score": float(score)})
+        self.logger.info("mirrored best params -> %s (score %.4f)",
+                         path, score)
 
     # ------------------------------------------------------------------
     def test(self, model, spec: PyramidSpec, dataset, resume: str,
@@ -465,8 +493,12 @@ class Trainer:
         spec0 = scale_spec(spec, buckets[0], headroom)
         state, tx = create_train_state(model, cfg, spec0, self._put(first),
                                        abstract=True)
-        saver = CheckpointManager(resume)
-        state, step0 = saver.load(state, best=True)
+        if resume.endswith(".npz"):
+            from .snapshot import load_params_npz
+            state, step0 = load_params_npz(resume, state)
+        else:
+            saver = CheckpointManager(resume)
+            state, step0 = saver.load(state, best=True)
         self.logger.info("testing with checkpoint step %d", step0)
 
         import collections

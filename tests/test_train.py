@@ -407,3 +407,31 @@ def test_trainer_tp_mesh(setup, tmp_path):
     batch = {"src_xyz": np.zeros((4, 16, 3), np.float32)}  # 4 % 4 == 0
     out = trainer._put(batch)
     assert not out["src_xyz"].sharding.is_fully_replicated
+
+
+def test_params_snapshot_roundtrip(setup, tmp_path):
+    """npz params snapshot restores params/batch_stats/step exactly into
+    an abstract template (the durability path for host resets)."""
+    from fgfusion_tpu.train.snapshot import (load_params_npz,
+                                             save_params_npz,
+                                             snapshot_meta)
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    step = make_train_step(model, tx, SPEC)
+    state, _ = step(state, batch)  # non-trivial batch_stats + step=1
+    host = jax.device_get(state)
+
+    path = str(tmp_path / "snap.npz")
+    save_params_npz(path, host, meta={"score": 0.75})
+    meta = snapshot_meta(path)
+    assert meta["step"] == 1 and meta["score"] == 0.75
+
+    template = jax.eval_shape(lambda: host)
+    restored, step_no = load_params_npz(path, template)
+    assert step_no == 1 and int(restored.step) == 1
+    for section in ("params", "batch_stats"):
+        a_leaves = jax.tree.leaves(getattr(host, section))
+        b_leaves = jax.tree.leaves(getattr(restored, section))
+        assert len(a_leaves) == len(b_leaves)
+        for a, b in zip(a_leaves, b_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
