@@ -33,6 +33,10 @@ done
 [ -z "$SNAP" ] && { note "no snapshot found"; exit 1; }
 note "model: $SNAP"
 mkdir -p results/evals
+# durably commit the trained params before anything else (a reset
+# during evals must not lose the model again)
+git add results/snapshots >/dev/null 2>&1 && \
+  git commit -q -m "results: trained flagship params snapshot (round-3c retrain)" || true
 
 run_eval() { # name, extra args...
   local tag=$1; shift
@@ -46,6 +50,11 @@ run_eval() { # name, extra args...
 
 run_eval r3c_3DMatch   --benchmark 3DMatch   --config conf/3dmatch_synthx3_cur.yaml
 run_eval r3c_3DLoMatch --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml
+
+# pose-selection protocol (learned-vs-RANSAC per pair) on the
+# low-overlap split — round-3a's chain10 queued this but the reset
+# erased the run
+run_eval r3c_3DLoMatch_rsel --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select
 
 # banded-kNN accuracy validation (RR delta vs the ship config)
 run_eval r3c_3DMatch_banded --benchmark 3DMatch --config conf/3dmatch_synthx3_cur.yaml --knn_band 0.34
@@ -81,5 +90,8 @@ timeout 3600 python tools/warm_caches.py > /tmp/warm2.log 2>&1
 note "warm rc=$?"
 timeout 1800 python bench.py > results/evals/r3c_bench.json 2>/tmp/bench_err.log
 note "bench rc=$?: $(cat results/evals/r3c_bench.json 2>/dev/null | tail -1)"
+# commit every artifact
+git add results >/dev/null 2>&1 && \
+  git commit -q -m "results: round-3c eval artifacts (RR, banded-kNN validation, MCD RMSE, bench)" || true
 touch /tmp/evals_done
 note "evals done"
