@@ -438,9 +438,15 @@ class Trainer:
         import os
 
         from .snapshot import save_params_npz
+        name = self.cfg.get("expt_name")
+        if not name:
+            # mirroring is a durability feature for named experiment
+            # runs; unnamed (unit-test) trainers must not write into
+            # the repo's results/ tree
+            return
         d = os.path.join("results", "snapshots")
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{self.cfg.get('expt_name', 'model')}_best.npz")
+        path = os.path.join(d, f"{name}_best.npz")
         save_params_npz(path, host_state, meta={"score": float(score)})
         self.logger.info("mirrored best params -> %s (score %.4f)",
                          path, score)
