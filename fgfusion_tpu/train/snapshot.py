@@ -42,6 +42,19 @@ def save_params_npz(path: str, state, meta: Optional[Dict] = None) -> None:
     np.savez_compressed(path, **arrs)
 
 
+def atomic_save_params_npz(path: str, state, meta: Optional[Dict] = None) -> None:
+    """save_params_npz via a same-directory tempfile + os.replace, so
+    concurrent readers (the durability git-committer) never observe a
+    half-written archive."""
+    import os
+    tmp = path + ".tmp"
+    save_params_npz(tmp, state, meta)
+    # np.savez_compressed appends .npz when missing
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
+
+
 def load_params_npz(path: str, state_template) -> Tuple[Any, int]:
     """Restore a snapshot into `state_template`'s structure (leaves may
     be abstract ShapeDtypeStructs from `create_train_state(...,

@@ -414,6 +414,7 @@ class Trainer:
                     snapshot_step = step
                     if self.saver.save(step, host_snapshot, score=score):
                         self._mirror_best(host_snapshot, score)
+                    self._mirror_latest(host_snapshot, score)
             epoch += 1
 
         score = self._validate(eval_step, state, val_loader, step=step,
@@ -447,9 +448,36 @@ class Trainer:
         d = os.path.join("results", "snapshots")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{name}_best.npz")
-        save_params_npz(path, host_state, meta={"score": float(score)})
+        # atomic write: a durability watcher git-commits results/ every
+        # few minutes and must never pick up a half-written archive
+        from .snapshot import atomic_save_params_npz
+        atomic_save_params_npz(path, host_state, meta={"score": float(score)})
         self.logger.info("mirrored best params -> %s (score %.4f)",
                          path, score)
+
+    def _mirror_latest(self, host_state, score: float):
+        """Hourly unconditional mirror of the LATEST params. The best-only
+        mirror goes stale whenever the val score plateaus (the third VM
+        reset this round recovered a step-1000/score-0.0 npz from a run
+        thousands of steps further along); this bounds the loss to ~1h
+        of training regardless of the score trajectory."""
+        import os
+        import time as _time
+
+        name = self.cfg.get("expt_name")
+        if not name:
+            return
+        now = _time.time()
+        last = getattr(self, "_last_latest_mirror", 0.0)
+        if now - last < float(self.cfg.get("latest_mirror_secs", 3600)):
+            return
+        self._last_latest_mirror = now
+        from .snapshot import atomic_save_params_npz
+        d = os.path.join("results", "snapshots")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}_latest.npz")
+        atomic_save_params_npz(path, host_state, meta={"score": float(score)})
+        self.logger.info("mirrored latest params -> %s", path)
 
     # ------------------------------------------------------------------
     def test(self, model, spec: PyramidSpec, dataset, resume: str,

@@ -435,3 +435,22 @@ def test_params_snapshot_roundtrip(setup, tmp_path):
         assert len(a_leaves) == len(b_leaves)
         for a, b in zip(a_leaves, b_leaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_atomic_snapshot_write(setup, tmp_path):
+    """atomic_save_params_npz leaves no tempfile behind and produces a
+    loadable archive at the final path (the durability git-committer
+    scans the directory concurrently)."""
+    from fgfusion_tpu.train.snapshot import (atomic_save_params_npz,
+                                             load_params_npz)
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    host = jax.device_get(state)
+
+    path = str(tmp_path / "snap_atomic.npz")
+    atomic_save_params_npz(path, host, meta={"score": 0.5})
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp" in p.name]
+    assert leftovers == []
+    template = jax.eval_shape(lambda: host)
+    restored, step_no = load_params_npz(path, template)
+    assert step_no == int(host.step)
