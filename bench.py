@@ -61,6 +61,35 @@ def bench_spec(n0: int = 12288, **overrides):
 
 def main():
     import os
+    import signal
+    import sys
+
+    # SIGTERM shield: a deadline harness (`timeout N python bench.py`)
+    # must never kill this process abruptly mid-remote-compile — that
+    # has wedged the TPU tunnel for hours (STATUS.md ops incidents).
+    # With a handler installed the signal is deferred until the
+    # blocking compile returns (by which point the persistent cache is
+    # already written); we then exit cleanly between device calls.
+    # A second SIGTERM exits immediately.
+    term = {"n": 0}
+
+    def _on_term(signum, frame):
+        term["n"] += 1
+        if term["n"] > 1:
+            os._exit(143)
+
+    def _bail_if_term(stage: str):
+        if term["n"]:
+            print(f"# bench: SIGTERM during {stage}; exiting after the "
+                  "blocking call returned (compile cache persisted)",
+                  file=sys.stderr)
+            sys.exit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass
+
     import jax
     # persistent compilation cache: the first TPU compile of the 12k-pt
     # program is slow (remote compile); subsequent bench runs reuse it
@@ -77,8 +106,10 @@ def main():
 
     model = get_model("finegrained_regtr.RegTR")(cfg=cfg)
     batch = _make_batch(b=b, n0=n0)
+    _bail_if_term("setup")
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch, spec,
                            train=False)
+    _bail_if_term("init")
 
     @jax.jit
     def fwd(variables, batch):
@@ -87,6 +118,7 @@ def main():
     # compile + warmup
     out = fwd(variables, batch)
     jax.block_until_ready(out)
+    _bail_if_term("compile/warmup")
 
     iters = 10
     t0 = time.perf_counter()

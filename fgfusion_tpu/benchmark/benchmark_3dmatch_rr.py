@@ -138,13 +138,29 @@ def evaluate_registration(n_fragments: int, est_traj: np.ndarray,
 
 
 def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
-              with_details: bool = False):
+              with_details: bool = False, missing_ok: bool = False):
     """Full multi-scene benchmark. Returns (report string, mean recall),
     plus — with_details=True — a per-pair list of dicts
     {scene, tgt_idx, src_idx, success, error} over the valid
     (non-consecutive) gt set, for downstream breakdowns such as
-    RR-vs-overlap-bin."""
+    RR-vs-overlap-bin.
+
+    missing_ok=True scores only the scenes that have an est.log —
+    the partial-salvage mode for a budget-capped (gracefully stopped)
+    eval sweep; the report then names the scenes skipped."""
     scenes = sorted(os.listdir(gt_folder))
+    skipped = [s for s in scenes
+               if not os.path.exists(os.path.join(est_folder, s, "est.log"))]
+    if skipped:
+        if not missing_ok:
+            raise FileNotFoundError(
+                f"no est.log for scenes {skipped} under {est_folder} "
+                "(pass missing_ok=True to score a partial sweep)")
+        scenes = [s for s in scenes if s not in skipped]
+        if not scenes:
+            return ("no scenes evaluated", 0.0, []) if with_details else \
+                ("no scenes evaluated", 0.0)
+    orig_idx = {s: i for i, s in enumerate(sorted(os.listdir(gt_folder)))}
     precisions, recalls, n_valids = [], [], []
     re_medians, te_medians = [], []
     details = []
@@ -182,7 +198,8 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
         re_medians.append(np.median(re))
         te_medians.append(np.median(te))
 
-        short = SCENE_SHORT_NAMES[s_idx] if s_idx < len(SCENE_SHORT_NAMES) else scene
+        short = SCENE_SHORT_NAMES[orig_idx[scene]] \
+            if orig_idx[scene] < len(SCENE_SHORT_NAMES) else scene
         lines.append(f"{short}\t| {prec:.3f}\t| {rec:.3f}\t| "
                      f"{np.median(re):.3f}\t| {np.median(te):.3f}\t| {n_valid:3d}")
 
@@ -209,6 +226,9 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
     lines.append(f"Mean median RTE: {np.mean(te_medians):.3f} +- {np.std(te_medians):.3f}")
     lines.append(f"Mean recall: {np.mean(recalls):.3f} +- {np.std(recalls):.3f}")
     lines.append(f"Weighted recall (global recall): {w_rec:.3f}")
+    if skipped:
+        lines.append(f"PARTIAL: {len(skipped)} scene(s) not evaluated: "
+                     + ", ".join(skipped))
     if with_details:
         return "\n".join(lines), float(np.mean(recalls)), details
     return "\n".join(lines), float(np.mean(recalls))

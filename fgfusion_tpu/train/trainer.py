@@ -32,6 +32,77 @@ from .checkpoint import CheckpointManager
 from .scheduler import make_optimizer
 
 
+class GracefulStop:
+    """Cooperative stop for deadline-harnessed TPU jobs.
+
+    An abrupt kill mid-step has repeatedly wedged the TPU tunnel for
+    hours (STATUS.md ops incidents), so long-running loops (fit, test)
+    poll this instead: the first SIGTERM (what `timeout` sends) or the
+    appearance of a stop file (`<log_dir>/STOP` or /tmp/fgfusion_stop)
+    requests a clean exit after the current unit of work — the caller
+    then writes final checkpoints/partial results. The graceful path is
+    hard-bounded by a SIGALRM (process dies if the epilogue hangs); a
+    second SIGTERM exits immediately."""
+
+    def __init__(self, logger, log_dir: str, alarm_s: int = 900):
+        import os
+        self._logger = logger
+        self._alarm_s = alarm_s
+        self._files = (os.path.join(log_dir, "STOP"), "/tmp/fgfusion_stop")
+        self._prev = None
+        self.stopped = False
+
+    def __enter__(self):
+        import os
+        import signal
+        for p in self._files:  # a stale stop file must not kill a new run
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+        def _on_term(signum, frame):
+            if self.stopped:
+                os._exit(143)
+            self.request("SIGTERM")
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread (unit-test harnesses)
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        try:
+            signal.alarm(0)
+        except Exception:  # noqa: BLE001
+            pass
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+    def request(self, reason: str):
+        import signal
+        if not self.stopped:
+            self.stopped = True
+            self._logger.warning(
+                "%s: stopping after the current step (final save/partial "
+                "results; hard exit in %ds if that hangs)", reason,
+                self._alarm_s)
+            try:
+                signal.alarm(self._alarm_s)
+            except Exception:  # noqa: BLE001
+                pass
+
+    def check(self) -> bool:
+        """Poll once per unit of work; True means stop now."""
+        import os
+        if not self.stopped and any(os.path.exists(p) for p in self._files):
+            self.request("stop file")
+        return self.stopped
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -348,6 +419,10 @@ class Trainer:
         step = int(state.step)
         loss_ema, ema_beta = None, 0.9
         n_skipped, skipped_acc = 0.0, None
+        # graceful stop (see GracefulStop): exit cleanly on SIGTERM or
+        # a stop file, with a final validation + save + mirrors
+        stopper = GracefulStop(self.logger, self.log_dir).__enter__()
+        self._stop_requested = False
         # donation hazard mitigation: keep a host snapshot so a step
         # that fails *after dispatch* (donated buffers already
         # invalidated) can restore instead of crashing on deleted
@@ -360,10 +435,13 @@ class Trainer:
         snapshot_step = step
         step0, t_start = step, time.time()  # rate counts from resume point
         epoch = 0
-        while step < total_iter:
+        while step < total_iter and not self._stop_requested:
             train_loader.set_epoch(epoch)
             for batch in device_prefetch(iter(train_loader), self._put):
                 if step >= total_iter:
+                    break
+                if stopper.check():
+                    self._stop_requested = True
                     break
                 try:
                     new_state, losses = train_step(state, batch)
@@ -417,16 +495,26 @@ class Trainer:
                     self._mirror_latest(host_snapshot, score)
             epoch += 1
 
-        score = self._validate(eval_step, state, val_loader, step=step,
-                               spec=spec)
-        final_host = jax.device_get(state)
-        if self.saver.save(step, final_host, score=score):
-            self._mirror_best(final_host, score)
-        self.saver.wait()
+        try:
+            score = self._validate(eval_step, state, val_loader, step=step,
+                                   spec=spec)
+            final_host = jax.device_get(state)
+            if self.saver.save(step, final_host, score=score):
+                self._mirror_best(final_host, score)
+            # unconditional final latest-mirror (rate limit bypassed):
+            # the endgame eval queue restores from this npz if the best
+            # mirror is stale
+            self._last_latest_mirror = 0.0
+            self._mirror_latest(final_host, score)
+            self.saver.wait()
+        finally:
+            stopper.__exit__()
         if skipped_acc is not None:
             n_skipped = float(skipped_acc)
-        self.logger.info("done: %d steps, %d skipped, best score %.4f @ %s",
-                         step, int(n_skipped), self.saver.best_score,
+        self.logger.info("done: %d steps%s, %d skipped, best score %.4f @ %s",
+                         step,
+                         " (stopped early)" if self._stop_requested else "",
+                         int(n_skipped), self.saver.best_score,
                          self.saver.best_step)
         return state
 
@@ -657,23 +745,41 @@ class Trainer:
             if len(pending[bucket]) >= batch_size_for(bucket):
                 flush(bucket, pending.pop(bucket))
 
-        # background host loading: bounded lookahead so IO overlaps the
-        # device calls without holding the whole sweep in RAM
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            lookahead = collections.deque()
-            for idx in range(len(dataset)):
-                lookahead.append((idx, ex.submit(dataset.__getitem__, idx)))
-                if len(lookahead) >= min(16, len(dataset)):
+        # graceful stop (see GracefulStop): a budget-capped eval under
+        # `timeout` salvages partial results instead of dying mid-batch
+        stopper = GracefulStop(self.logger, self.log_dir).__enter__()
+        try:
+            # background host loading: bounded lookahead so IO overlaps
+            # the device calls without holding the whole sweep in RAM
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                lookahead = collections.deque()
+                for idx in range(len(dataset)):
+                    if stopper.check():
+                        break
+                    lookahead.append(
+                        (idx, ex.submit(dataset.__getitem__, idx)))
+                    if len(lookahead) >= min(16, len(dataset)):
+                        i, fut = lookahead.popleft()
+                        enqueue(i, fut.result())
+                while lookahead and not stopper.check():
                     i, fut = lookahead.popleft()
                     enqueue(i, fut.result())
-            while lookahead:
-                i, fut = lookahead.popleft()
-                enqueue(i, fut.result())
-        for bucket, items in sorted(pending.items()):
-            if items:
-                flush(bucket, items)
-        while inflight:
-            drain_one()
+                if stopper.stopped:
+                    lookahead.clear()
+            if not stopper.stopped:
+                for bucket, items in sorted(pending.items()):
+                    if items:
+                        flush(bucket, items)
+            while inflight:
+                drain_one()
+            if stopper.stopped:
+                self.logger.warning(
+                    "PARTIAL EVAL: stopped after %d/%d pairs — metrics "
+                    "and recall below cover only the evaluated subset "
+                    "(unevaluated pairs in reached scenes count as "
+                    "failures)", n_done, len(dataset))
+        finally:
+            stopper.__exit__()
 
         for bucket, nv in sorted(worst_voxels.items()):
             caps = scale_spec(spec, bucket).capacities[1:]
@@ -704,9 +810,11 @@ class Trainer:
         results: Dict = {"metrics": avgs,
                          "pairs_per_sec": len(dataset) / (t_end - t0),
                          "sweep_pairs_per_sec": sweep_pps,
-                         "n_subsampled": n_subsampled}
+                         "n_subsampled": n_subsampled,
+                         "partial": stopper.stopped,
+                         "n_done": n_done}
 
-        if cfg["dataset"] in ("3dmatch", "MCD_KTH"):
+        if cfg["dataset"] in ("3dmatch", "MCD_KTH") and n_done > 0:
             from ..benchmark.benchmark_3dmatch_rr import benchmark
             if gt_root is None:
                 # gt.log/gt.info live next to the dataset infos — for
@@ -716,7 +824,8 @@ class Trainer:
                     cfg.get("info_dir", "datasets/3dmatch"), "benchmarks")
             report, mean_recall, details = benchmark(
                 os.path.join(self.log_dir, benchmark_name),
-                os.path.join(gt_root, benchmark_name), with_details=True)
+                os.path.join(gt_root, benchmark_name), with_details=True,
+                missing_ok=stopper.stopped)
             self.logger.info("\n%s", report)
             results["registration_recall"] = mean_recall
             results["report"] = report
@@ -727,7 +836,7 @@ class Trainer:
                     "RR by GT-overlap bin: %s",
                     " | ".join(f"[{lo:.2f},{hi:.2f}): {rr:.3f} (n={n})"
                                for lo, hi, rr, n in bins))
-        elif cfg["dataset"] == "modelnet":
+        elif cfg["dataset"] == "modelnet" and modelnet_metrics:
             from ..benchmark import benchmark_modelnet as bm
             modelnet_metrics.sort(key=lambda im: im[0])   # dataset order
             cat = {k: np.concatenate([m[k] for _, m in modelnet_metrics])

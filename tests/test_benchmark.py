@@ -39,6 +39,34 @@ def test_rr_perfect_est_gives_full_recall(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(GT_ROOT), reason="gt logs not present")
+def test_rr_partial_sweep_missing_ok(tmp_path):
+    """missing_ok=True scores only the scenes with an est.log (the
+    graceful-stop partial-salvage mode); default mode raises."""
+    scenes = sorted(os.listdir(GT_ROOT))[:2]
+    gt_dir = tmp_path / "gt"
+    est_dir = tmp_path / "est"
+    for scene in scenes:
+        src = os.path.join(GT_ROOT, scene)
+        (gt_dir / scene).mkdir(parents=True)
+        os.symlink(os.path.abspath(os.path.join(src, "gt.log")),
+                   gt_dir / scene / "gt.log")
+        os.symlink(os.path.abspath(os.path.join(src, "gt.info")),
+                   gt_dir / scene / "gt.info")
+    # est.log only for the FIRST scene (sweep stopped early)
+    src = os.path.join(GT_ROOT, scenes[0])
+    pairs, traj = rr.read_trajectory(os.path.join(src, "gt.log"))
+    rr.write_est_log(str(est_dir / scenes[0] / "est.log"),
+                     [tuple(map(int, p)) for p in pairs], traj)
+
+    with pytest.raises(FileNotFoundError):
+        rr.benchmark(str(est_dir), str(gt_dir))
+
+    report, recall = rr.benchmark(str(est_dir), str(gt_dir), missing_ok=True)
+    assert recall == pytest.approx(1.0), report
+    assert "PARTIAL" in report and scenes[1] in report
+
+
+@pytest.mark.skipif(not os.path.isdir(GT_ROOT), reason="gt logs not present")
 def test_rr_corrupted_est_lowers_recall(tmp_path):
     scene = sorted(os.listdir(GT_ROOT))[0]
     src = os.path.join(GT_ROOT, scene)

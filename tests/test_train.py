@@ -174,6 +174,93 @@ def test_fit_survives_midtrain_exception(setup, tmp_path, monkeypatch):
     assert int(state.step) >= 5  # one batch lost, rest trained
 
 
+def test_fit_graceful_stop_file(setup, tmp_path):
+    """A STOP file in the log dir ends training after the current step
+    with a final checkpoint + forced latest-mirror (deadline harnesses
+    rely on this instead of killing the TPU process mid-step)."""
+    import os
+
+    from fgfusion_tpu.train.trainer import Trainer
+
+    model, tx, fresh_state, batch = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(optimizer="AdamW", base_lr=1e-3, weight_decay=1e-4,
+               grad_clip=0.1, scheduler="step", scheduler_param=[100000, 0.5],
+               reg_success_thresh_rot=10, reg_success_thresh_trans=0.1)
+
+    batch8 = make_batch(np.random.default_rng(7), b=8)
+    np_batch = {k: np.asarray(v) for k, v in batch8.items()}
+    log_dir = str(tmp_path / "run")
+
+    class Loader:
+        def __init__(self, n, stop_after=None):
+            self.n = n
+            self.stop_after = stop_after
+
+        def __len__(self):
+            return self.n
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            for i in range(self.n):
+                if self.stop_after is not None and i == self.stop_after:
+                    open(os.path.join(log_dir, "STOP"), "w").close()
+                yield np_batch
+
+    trainer = Trainer(cfg, log_dir, niter=50, nb_sanity_val_steps=0)
+    state = trainer.fit(model, SPEC, Loader(50, stop_after=4), Loader(1))
+    assert trainer._stop_requested
+    # stopped well before niter, after honoring in-flight steps
+    assert 2 <= int(state.step) <= 8
+    # final checkpoint was still written
+    assert trainer.saver.latest_step() == int(state.step)
+
+
+def test_fit_graceful_sigterm(setup, tmp_path):
+    """First SIGTERM requests a clean stop (handler restored after)."""
+    import os
+    import signal
+
+    from fgfusion_tpu.train.trainer import Trainer
+
+    model, tx, fresh_state, batch = setup
+    cfg = dict(TINY_CFG)
+    cfg.update(optimizer="AdamW", base_lr=1e-3, weight_decay=1e-4,
+               grad_clip=0.1, scheduler="step", scheduler_param=[100000, 0.5],
+               reg_success_thresh_rot=10, reg_success_thresh_trans=0.1)
+
+    batch8 = make_batch(np.random.default_rng(7), b=8)
+    np_batch = {k: np.asarray(v) for k, v in batch8.items()}
+
+    class Loader:
+        def __init__(self, n, term_after=None):
+            self.n = n
+            self.term_after = term_after
+
+        def __len__(self):
+            return self.n
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            for i in range(self.n):
+                if self.term_after is not None and i == self.term_after:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield np_batch
+
+    prev = signal.getsignal(signal.SIGTERM)
+    trainer = Trainer(cfg, str(tmp_path / "run"), niter=50,
+                      nb_sanity_val_steps=0)
+    state = trainer.fit(model, SPEC, Loader(50, term_after=4), Loader(1))
+    assert trainer._stop_requested
+    assert int(state.step) < 50
+    # the handler (and any pending alarm) must not leak out of fit
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
 def test_loader_num_workers_deterministic(rng):
     """num_workers parallelism must not change the produced batches."""
     from fgfusion_tpu.data.loader import DataLoader
