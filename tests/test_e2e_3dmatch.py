@@ -163,3 +163,37 @@ def test_3dmatch_end_to_end(cfg, data_root, tmp_path, monkeypatch):
     from fgfusion_tpu.benchmark.benchmark_3dmatch_rr import read_trajectory
     pairs, traj = read_trajectory(str(est))
     assert traj.shape == (len(make_ds("test")), 4, 4)
+
+    # --- graceful-stop partial salvage: a STOP file appearing
+    # mid-sweep ends the eval after in-flight work and reports
+    # partial results instead of crashing (the budget-capped eval
+    # path; see GracefulStop)
+    run2 = tmp_path / "run2"
+    test_ds = make_ds("test")
+
+    class StopTouching:
+        """Dataset proxy that drops a STOP file while serving idx k."""
+
+        def __init__(self, ds, k):
+            self.ds, self.k = ds, k
+            self.infos = getattr(ds, "infos", None)
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, idx):
+            if idx == self.k:
+                os.makedirs(run2, exist_ok=True)
+                open(run2 / "STOP", "w").close()
+            return self.ds.__getitem__(idx)
+
+    trainer2 = Trainer(cfg, str(run2))
+    results2 = trainer2.test(
+        model, spec, StopTouching(test_ds, 8),
+        resume=str(tmp_path / "run" / "ckpt"),
+        benchmark_name="SynthBench",
+        gt_root=str(data_root / "benchmarks"))
+    assert results2["partial"] is True
+    assert results2["n_done"] < len(test_ds)
+    # scoring only over what was reached; n_done==0 must not crash
+    assert ("registration_recall" in results2) == (results2["n_done"] > 0)

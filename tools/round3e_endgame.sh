@@ -66,11 +66,12 @@ run_eval() { # tag, budget_s, extra args...
   probe 8 || note "tunnel unwell after $tag"
 }
 
-run_eval r3e_3DMatch   4500 --benchmark 3DMatch   --config conf/3dmatch_synthx3_cur.yaml
-run_eval r3e_3DLoMatch 3600 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml
-run_eval r3e_3DLoMatch_rsel 3000 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select
+run_eval r3e_3DMatch   3900 --benchmark 3DMatch   --config conf/3dmatch_synthx3_cur.yaml
+run_eval r3e_3DLoMatch 2700 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml
 
-# ---- 5. MCD end-to-end if the window allows (train 2400s + eval 1200s)
+# ---- 5. MCD end-to-end (train 2400s + eval 1200s): every prior MCD
+# artifact was lost to VM resets, so fresh end-to-end evidence
+# outranks the rsel variant below
 if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 4200 ]; then
   note "MCD train"
   timeout 2400 python train.py --config conf/mcd_synth.yaml --niter 3000 \
@@ -84,7 +85,12 @@ if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 4200 ]; then
       > /tmp/mcd_eval.log 2>&1
     note "MCD rmse rc=$?"; tail -12 /tmp/mcd_eval.log >> results/evals/r3e_mcd.log
   fi
+  git add results >/dev/null 2>&1 && git commit -q -m "results: r3e MCD artifacts" || true
+  probe 8 || note "tunnel unwell after MCD"
 fi
+
+# ---- 6. rsel variant if the window still allows
+run_eval r3e_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select
 
 git add results >/dev/null 2>&1 && \
   git commit -q -m "results: round-3e eval artifacts" || true
