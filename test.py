@@ -38,6 +38,18 @@ def parse_args():
                    help="run RANSAC but keep the learned pose when it "
                         "scores more weighted inliers (per-pair "
                         "selection; best of both regimes)")
+    p.add_argument("--eval_buckets", type=str, default=None,
+                   help="comma-separated bucket-ladder override (e.g. "
+                        "'36864' for a single bucket). Each (bucket, "
+                        "batch) shape is its own XLA program — minutes "
+                        "of remote compile on a cold cache — so a "
+                        "deadline-bounded eval can trade per-pair speed "
+                        "for ONE compile by padding everything to the "
+                        "largest bucket (protocol-neutral: padding is "
+                        "masked)")
+    p.add_argument("--eval_batch", type=int, default=None,
+                   help="override cfg eval_batch_size (pairs per "
+                        "batched eval step at the smallest bucket)")
     p.add_argument("--logdir", type=str, default="logs")
     p.add_argument("--dev", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
@@ -92,6 +104,10 @@ def main():
         cfg["approx_knn"] = False
     if args.knn_band is not None:
         cfg["knn_band_frac"] = args.knn_band
+    if args.eval_buckets is not None:
+        cfg["eval_buckets"] = [int(b) for b in args.eval_buckets.split(",")]
+    if args.eval_batch is not None:
+        cfg["eval_batch_size"] = args.eval_batch
     if args.fused_knn:
         if args.exact_knn:
             sys.exit("--fused_knn requires the approximate path; it "

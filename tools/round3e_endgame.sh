@@ -66,21 +66,33 @@ run_eval() { # tag, budget_s, extra args...
   probe 8 || note "tunnel unwell after $tag"
 }
 
-run_eval r3e_3DMatch   3900 --benchmark 3DMatch   --config conf/3dmatch_synthx3_cur.yaml
-run_eval r3e_3DLoMatch 2700 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml
+# Single-bucket override (36864, batch 1): every (bucket, batch) shape
+# is its own cold remote compile post-reset (~10-25 min each; the test
+# sets need all 3 ladder buckets), so both RR evals share ONE program
+# — protocol-neutral (padding is masked), proven memory-safe (round-3c
+# ran 36864@B1), and the 3DLoMatch eval rides the 3DMatch compile via
+# the persistent cache.
+ONEB="--eval_buckets 36864 --eval_batch 1"
+run_eval r3e_3DMatch   3300 --benchmark 3DMatch   --config conf/3dmatch_synthx3_cur.yaml $ONEB
+run_eval r3e_3DLoMatch 1500 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml $ONEB
 
-# ---- 5. MCD end-to-end (train 2400s + eval 1200s): every prior MCD
-# artifact was lost to VM resets, so fresh end-to-end evidence
-# outranks the rsel variant below
-if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 4200 ]; then
-  note "MCD train"
-  timeout 2400 python train.py --config conf/mcd_synth.yaml --niter 3000 \
+# ---- 5. MCD end-to-end (train + eval): every prior MCD artifact was
+# lost to VM resets, so fresh end-to-end evidence outranks the rsel
+# variant below. Budgets cap to the remaining window; a truncated
+# train still mirrors params (graceful stop) and the eval proceeds.
+if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 3000 ]; then
+  TB=$(( $(left) - 1000 )); [ "$TB" -gt 2400 ] && TB=2400
+  note "MCD train (budget ${TB}s)"
+  timeout "$TB" python train.py --config conf/mcd_synth.yaml --niter 3000 \
     --num_workers 2 --summary_every 200 --validate_every 500 \
     > /tmp/mcd_train.log 2>&1
   note "MCD train rc=$?"
-  MSNAP=results/snapshots/mcd_synth_best.npz
-  if [ -f "$MSNAP" ]; then
-    timeout 1200 python tools/mcd/eval_mcd_rmse.py --resume "$MSNAP" \
+  probe 8 || note "tunnel unwell after MCD train"
+  MSNAP=results/snapshots/finegrained_reg_mcd_synth_best.npz
+  [ -f "$MSNAP" ] || MSNAP=results/snapshots/finegrained_reg_mcd_synth_latest.npz
+  if [ -f "$MSNAP" ] && [ "$(left)" -gt 300 ]; then
+    EB=$(( $(left) - 120 )); [ "$EB" -gt 1200 ] && EB=1200
+    timeout "$EB" python tools/mcd/eval_mcd_rmse.py --resume "$MSNAP" \
       --config conf/mcd_synth.yaml --out_dir results/evals/mcd_rmse \
       > /tmp/mcd_eval.log 2>&1
     note "MCD rmse rc=$?"; tail -12 /tmp/mcd_eval.log >> results/evals/r3e_mcd.log
@@ -89,8 +101,9 @@ if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 4200 ]; then
   probe 8 || note "tunnel unwell after MCD"
 fi
 
-# ---- 6. rsel variant if the window still allows
-run_eval r3e_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select
+# ---- 6. rsel variant if the window still allows (own cold compile:
+# the in-graph RANSAC changes the program)
+run_eval r3e_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select $ONEB
 
 git add results >/dev/null 2>&1 && \
   git commit -q -m "results: round-3e eval artifacts" || true
