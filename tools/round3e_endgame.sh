@@ -55,7 +55,10 @@ fi
 run_eval() { # tag, budget_s, extra args...
   local tag=$1 budget=$2; shift 2
   [ "$(left)" -lt 900 ] && { note "skip $tag (deadline)"; return; }
-  [ "$budget" -gt "$(left)" ] && budget=$(left)
+  # keep 180s clear of END_TS: the graceful-stop epilogue (drain +
+  # partial scoring) must finish before the driver's own bench run
+  local m=$(( $(left) - 180 ))
+  [ "$budget" -gt "$m" ] && budget=$m
   note "eval $tag start (budget ${budget}s)"
   timeout "$budget" python test.py --resume "$SNAP" "$@" > "/tmp/eval_${tag}.log" 2>&1
   note "eval $tag rc=$?"
@@ -105,7 +108,18 @@ fi
 # the in-graph RANSAC changes the program)
 run_eval r3e_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select $ONEB
 
+# machine-readable recap of everything that landed (read by whoever
+# writes the final STATUS section)
+{
+  echo "# Round-3e eval summary ($(date -u +%F\ %T) UTC)"
+  echo "model: $SNAP"
+  for f in results/evals/r3e_*.log results/evals/r3e_bench.json; do
+    [ -f "$f" ] || continue
+    echo; echo "## $f"
+    grep -aE "recall|RR by|pairs/s|RMSE|APE|rot err|metric|PARTIAL|sweep" "$f" | tail -12
+  done
+} > results/evals/SUMMARY_r3e.md
 git add results >/dev/null 2>&1 && \
-  git commit -q -m "results: round-3e eval artifacts" || true
+  git commit -q -m "results: round-3e eval artifacts + summary" || true
 touch /tmp/evals_done
 note "endgame v2 done ($(left))s left"
