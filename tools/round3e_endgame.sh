@@ -104,7 +104,13 @@ if [ -f /tmp/mcd_ready ] && [ "$(left)" -gt 3000 ]; then
   probe 8 || note "tunnel unwell after MCD"
 fi
 
-# ---- 6. rsel variant if the window still allows (own cold compile:
+# ---- 6. banded-kNN RR validation (own cold compile): the window
+# recall data (DESIGN.md §13) needs an RR delta on a trained
+# checkpoint before the ~22 pairs/s banded route can ship — this is
+# the only night a trained model at scale exists this round
+run_eval r3e_3DMatch_band034 2400 --benchmark 3DMatch --config conf/3dmatch_synthx3_cur.yaml --knn_band 0.34 $ONEB
+
+# ---- 7. rsel variant if the window still allows (own cold compile:
 # the in-graph RANSAC changes the program)
 run_eval r3e_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select $ONEB
 
