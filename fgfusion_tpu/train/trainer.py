@@ -381,13 +381,15 @@ class Trainer:
             state = shard_tree(state, self.mesh)
         if resume:
             if resume.endswith(".npz"):
-                # params-only snapshot: optimizer state starts fresh
-                # (durability path — see train/snapshot.py)
+                # npz snapshot (durability path — train/snapshot.py):
+                # params-only archives warm-start with fresh optimizer
+                # state; full archives (final graceful-stop mirrors)
+                # restore Adam moments + schedule position too —
+                # load_params_npz logs which happened
                 from .snapshot import load_params_npz
                 state, step0 = load_params_npz(resume, state)
                 self.logger.info(
-                    "warm-started params from snapshot %s (step %d); "
-                    "optimizer state fresh", resume, step0)
+                    "warm-started from snapshot %s (step %d)", resume, step0)
             else:
                 saver = CheckpointManager(resume) if resume != self.saver.save_dir \
                     else self.saver
@@ -503,9 +505,11 @@ class Trainer:
                 self._mirror_best(final_host, score)
             # unconditional final latest-mirror (rate limit bypassed):
             # the endgame eval queue restores from this npz if the best
-            # mirror is stale
+            # mirror is stale. include_opt: the FINAL mirror carries the
+            # optimizer state so a post-reset resume loses nothing
+            # (hourly mirrors stay params-only for git size)
             self._last_latest_mirror = 0.0
-            self._mirror_latest(final_host, score)
+            self._mirror_latest(final_host, score, include_opt=True)
             self.saver.wait()
         finally:
             stopper.__exit__()
@@ -543,7 +547,8 @@ class Trainer:
         self.logger.info("mirrored best params -> %s (score %.4f)",
                          path, score)
 
-    def _mirror_latest(self, host_state, score: float):
+    def _mirror_latest(self, host_state, score: float,
+                       include_opt: bool = False):
         """Hourly unconditional mirror of the LATEST params. The best-only
         mirror goes stale whenever the val score plateaus (the third VM
         reset this round recovered a step-1000/score-0.0 npz from a run
@@ -564,8 +569,10 @@ class Trainer:
         d = os.path.join("results", "snapshots")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{name}_latest.npz")
-        atomic_save_params_npz(path, host_state, meta={"score": float(score)})
-        self.logger.info("mirrored latest params -> %s", path)
+        atomic_save_params_npz(path, host_state, meta={"score": float(score)},
+                               include_opt=include_opt)
+        self.logger.info("mirrored latest params -> %s%s", path,
+                         " (with optimizer state)" if include_opt else "")
 
     # ------------------------------------------------------------------
     def test(self, model, spec: PyramidSpec, dataset, resume: str,

@@ -541,3 +541,36 @@ def test_atomic_snapshot_write(setup, tmp_path):
     template = jax.eval_shape(lambda: host)
     restored, step_no = load_params_npz(path, template)
     assert step_no == int(host.step)
+
+def test_full_snapshot_restores_opt_state(setup, tmp_path):
+    """include_opt=True archives carry the optimizer state; loading one
+    restores Adam moments + schedule counters exactly (full resume —
+    a VM reset then costs zero optimizer progress), while a
+    params-only archive leaves the template's fresh opt_state alone."""
+    from fgfusion_tpu.train.snapshot import load_params_npz, save_params_npz
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    step = make_train_step(model, tx, SPEC)
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)  # non-trivial Adam moments, count=2
+    host = jax.device_get(state)
+
+    full = str(tmp_path / "snap_full.npz")
+    save_params_npz(full, host, meta={"score": 0.1}, include_opt=True)
+    slim = str(tmp_path / "snap_slim.npz")
+    save_params_npz(slim, host, meta={"score": 0.1})
+
+    template = jax.device_get(fresh_state())
+    restored, _ = load_params_npz(full, template)
+    a = jax.tree.leaves(host.opt_state)
+    b = jax.tree.leaves(restored.opt_state)
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # params-only archive: opt_state stays the template's (fresh)
+    restored2, _ = load_params_npz(slim, template)
+    f = jax.tree.leaves(template.opt_state)
+    g = jax.tree.leaves(restored2.opt_state)
+    for x, y in zip(f, g):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
