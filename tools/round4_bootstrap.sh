@@ -4,9 +4,10 @@
 # rounds 3b-3f re-derived by hand each time, so round-4 wall clock
 # converts into training instead of plumbing.
 #
-# Usage (detached, from /root/repo):
-#   ROUND_END_TS=$(date -d '+8 hours' +%s) \
-#     (setsid nohup bash tools/round4_bootstrap.sh > /tmp/r4.log 2>&1 &)
+# Usage (detached, from /root/repo — NO subshell parens, the env
+# assignment must bind to the nohup command itself):
+#   ROUND_END_TS=<epoch> setsid nohup bash tools/round4_bootstrap.sh \
+#     > /tmp/r4.log 2>&1 &
 #
 # Sequence (ONE TPU process at a time — CLAUDE.md discipline):
 #   0. durability watcher + dataset regen start (CPU, in parallel)
@@ -54,12 +55,28 @@ done
 [ -z "$ok" ] && { note "TPU never answered; aborting"; exit 1; }
 
 # ---- 2. bench warm (driver-critical program) ----
-if [ "$(left)" -gt $(( ENDGAME_S + 2400 )) ]; then
+if [ "$(left)" -gt $(( ENDGAME_S + 2700 )) ]; then
   note "bench warm start"
   timeout 2700 python bench.py > /tmp/r4_bench.json 2>/tmp/r4_bench_err.log
   note "bench rc=$?: $(tail -1 /tmp/r4_bench.json 2>/dev/null)"
 else
   note "skip bench warm (deadline)"
+fi
+
+# ---- 2b. batch-amortized throughput (VERDICT round-4 item 4) ----
+# Step-INSENSITIVE (bench_variants inits its own params), so bank it
+# now rather than gambling on the endgame window — five VM resets say
+# bank early. Two cold programs (~25 min each worst case via relay).
+if [ ! -f results/evals/r4_batch_throughput.log ] && \
+   [ "$(left)" -gt $(( ENDGAME_S + 7200 )) ]; then
+  note "bench_variants batch2,batch4 start"
+  timeout 3600 python tools/bench_variants.py --only batch2,batch4 \
+    > results/evals/r4_batch_throughput.log 2>&1
+  note "bench_variants rc=$?: $(tail -2 results/evals/r4_batch_throughput.log | head -1)"
+  git add results >/dev/null 2>&1 && \
+    git commit -q -m "results: r4 batch-amortized serving throughput (bench_variants batch2,batch4)" || true
+else
+  note "skip early bench_variants (done or deadline)"
 fi
 
 # ---- 3. training ----
@@ -94,9 +111,19 @@ if [ -n "$SNAP" ] && [ "$TRAIN_S" -gt 2400 ]; then
       for i in $(seq 60); do
         kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || break; sleep 20
       done
+      # NEVER start a second JAX process while stage A is alive (a
+      # process blocked in a remote compile never polls GracefulStop;
+      # two processes on the axon tunnel deadlock). Keep waiting —
+      # the stop files stay in place so it stops when it can.
+      if kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null; then
+        note "stage A still alive after stop wait; NOT starting stage B yet"
+        sleep 60; continue
+      fi
       rm -f /tmp/fgfusion_stop
-      # resume stage B from stage A's own latest mirror (falls back to $SNAP)
-      SNAP2=$(ls -t results/snapshots/*latest.npz 2>/dev/null | head -1)
+      # resume stage B from stage A's own latest mirror (falls back to
+      # $SNAP; glob restricted to the flagship lineage so a foreign
+      # experiment's mirror can never be picked up)
+      SNAP2=$(ls -t results/snapshots/finegrained_reg_3dmatch_synth*_latest.npz 2>/dev/null | head -1)
       CFG=conf/3dmatch_synthx3_cur.yaml
       note "stage B: $CFG from ${SNAP2:-$SNAP}"
       (setsid nohup python train.py --config "$CFG" --resume "${SNAP2:-$SNAP}" \
@@ -112,15 +139,21 @@ if [ -n "$SNAP" ] && [ "$TRAIN_S" -gt 2400 ]; then
     for i in $(seq 90); do
       kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || break; sleep 20
     done
-    rm -f /tmp/fgfusion_stop
+    # do NOT rm the stop files if still alive — a compile-blocked
+    # trainer must find them when it finally polls
+    kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || rm -f /tmp/fgfusion_stop
   fi
 else
   note "skip training (no snapshot or <2400s budget)"
 fi
 
 # ---- 4. endgame evals ----
-# round3e_endgame waits for the pid in /tmp/chain.pid to die before it
-# starts; training is already stopped here, so hand it a dead pid.
-echo 99999999 > /tmp/chain.pid
-END_TS=$(( ROUND_END_TS - 120 )) bash tools/round3e_endgame.sh
+# Hand the endgame the REAL train pid: its wait-for-death guard is the
+# last line of defense against two JAX processes on the tunnel. Only
+# substitute the dead sentinel once the pid is confirmed dead.
+TP=$(cat /tmp/r4_train.pid 2>/dev/null || echo 99999999)
+kill -0 "$TP" 2>/dev/null && note "train pid $TP STILL ALIVE at endgame handoff" \
+  || TP=99999999
+echo "$TP" > /tmp/chain.pid
+END_TS=$(( ROUND_END_TS - 120 )) bash tools/round4_endgame.sh
 note "bootstrap done"
