@@ -133,6 +133,9 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+        "baseline_note": "directional: ~10 pairs/s REGTR-lineage GPU "
+                         "estimate (reference publishes no throughput; "
+                         "see BASELINE.md)",
     }))
 
 
