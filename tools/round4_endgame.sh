@@ -17,6 +17,12 @@ set -u
 cd /root/repo
 LOG=/tmp/round4_endgame.log
 END_TS=${END_TS:-$(( $(date +%s) + 7200 ))}   # round end minus safety margin
+# Hard cap (round 4): the driver's own end-of-round bench.py must
+# never overlap our TPU queue (two JAX processes wedge the tunnel —
+# that's how BENCH_r03 was lost). Driver round-4 start was ~16:26 UTC;
+# cap all endgame TPU work at 00:18 UTC (epoch below).
+CAP=1787185080
+[ "$END_TS" -gt "$CAP" ] && END_TS=$CAP
 note() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 left() { echo $(( END_TS - $(date +%s) )); }
 probe() {
