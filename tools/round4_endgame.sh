@@ -97,6 +97,18 @@ run_eval r4_3DMatch_band034 2400 --benchmark 3DMatch --config conf/3dmatch_synth
 # ---- 6. RANSAC refinement on the trained model (VERDICT item 5)
 run_eval r4_3DLoMatch_ransac 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac $ONEB
 
+# ---- 6b. banded-kNN pairs/s (item 3's other half: the ship case
+# needs the measured win, the close case quotes it in DESIGN §13)
+if [ "$(left)" -gt 1500 ]; then
+  B=$(( $(left) - 300 )); [ "$B" -gt 2400 ] && B=2400
+  note "bench_variants banded_034_L0 (budget ${B}s)"
+  timeout "$B" python tools/bench_variants.py --only banded_034_L0 \
+    > results/evals/r4_banded_throughput.log 2>&1
+  note "banded bench rc=$?"
+  git add results >/dev/null 2>&1 && git commit -q -m "results: r4 banded-kNN pairs/s" || true
+  probe 8 || note "tunnel unwell after banded bench"
+fi
+
 # ---- 7. batch-amortized serving throughput (VERDICT item 4;
 # normally already banked by the bootstrap's stage 2b)
 if [ ! -s results/evals/r4_batch_throughput.log ] && [ "$(left)" -gt 1200 ]; then
