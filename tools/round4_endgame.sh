@@ -124,8 +124,11 @@ fi
 # ---- 8. rsel variant (VERDICT item 5b; own cold compile)
 run_eval r4_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synthx3_cur.yaml --ransac_select $ONEB
 
-# ---- 9. decoder-variant smoke (VERDICT item 7, third attempt)
-if [ "$(left)" -gt 1500 ]; then
+# ---- 9. decoder-variant smoke (VERDICT item 7, third attempt).
+# Skipped if the CPU-side smoke already banked the artifact (round 4
+# runs it nice-19 on the host in parallel with training, precisely so
+# this lowest-priority TPU slot can go to the RR evals instead).
+if [ ! -s results/evals/r4_decoder_smoke.log ] && [ "$(left)" -gt 1500 ]; then
   B=$(( $(left) - 400 )); [ "$B" -gt 2400 ] && B=2400
   note "decoder smoke (budget ${B}s)"
   timeout "$B" python train.py --config conf/modelnet_synth_decoder.yaml \
