@@ -17,11 +17,14 @@ set -u
 cd /root/repo
 LOG=/tmp/round4_endgame.log
 END_TS=${END_TS:-$(( $(date +%s) + 7200 ))}   # round end minus safety margin
-# Hard cap (round 4): the driver's own end-of-round bench.py must
-# never overlap our TPU queue (two JAX processes wedge the tunnel —
-# that's how BENCH_r03 was lost). Driver round-4 start was ~16:26 UTC;
-# cap all endgame TPU work at 00:18 UTC (epoch below).
-CAP=1787185080
+# Hard cap: the driver's own end-of-round bench.py must never overlap
+# our TPU queue (two JAX processes wedge the tunnel — that's how
+# BENCH_r03 was lost). The cap must track the CURRENT driver round: a
+# sixth VM reset (Aug 19 19:27 UTC) restarted the round, so the old
+# 00:18 cap (computed for the 16:26 start) would have skipped every
+# eval. Overridable via CAP_TS; default = session restart 19:55 UTC
+# + 7h - 15 min margin.
+CAP=${CAP_TS:-1787193100}
 [ "$END_TS" -gt "$CAP" ] && END_TS=$CAP
 note() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 left() { echo $(( END_TS - $(date +%s) )); }
