@@ -19,12 +19,13 @@ LOG=/tmp/round4_endgame.log
 END_TS=${END_TS:-$(( $(date +%s) + 7200 ))}   # round end minus safety margin
 # Hard cap: the driver's own end-of-round bench.py must never overlap
 # our TPU queue (two JAX processes wedge the tunnel — that's how
-# BENCH_r03 was lost). The cap must track the CURRENT driver round: a
-# sixth VM reset (Aug 19 19:27 UTC) restarted the round, so the old
-# 00:18 cap (computed for the 16:26 start) would have skipped every
-# eval. Overridable via CAP_TS; default = session restart 19:55 UTC
-# + 7h - 15 min margin.
-CAP=${CAP_TS:-1787193100}
+# BENCH_r03 was lost). A hard-coded default cap went stale across TWO
+# restarts in a row (00:18 for the 16:26 start, then 02:31 for the
+# 19:55 restart) and would have skipped every eval each time — so the
+# default is now NO extra clamp: the caller (round4_bootstrap.sh)
+# already passes END_TS = ROUND_END_TS - 120, which is deadline-aware
+# by construction. Set CAP_TS explicitly only to tighten further.
+CAP=${CAP_TS:-$END_TS}
 [ "$END_TS" -gt "$CAP" ] && END_TS=$CAP
 note() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 left() { echo $(( END_TS - $(date +%s) )); }
