@@ -43,6 +43,15 @@ if [ ! -f datasets/3dmatch_synthx3/data/train_cur_pairs-overlapmask.h5 ]; then
 else
   touch /tmp/x3_ready; note "x3 data already present"
 fi
+# decoder-variant CPU smoke (VERDICT item 7): waits on the modelnet
+# regen flag, runs nice-19 off the tunnel, banks a PARTIAL artifact at
+# its deadline. The seventh reset showed this was never launched by
+# the bootstrap — now it is.
+if [ ! -s results/evals/r4_decoder_smoke.log ]; then
+  DEADLINE_TS=$(( ROUND_END_TS - 900 )) setsid nohup \
+    bash tools/r4_decoder_cpu.sh > /tmp/r4_decoder_cpu.log 2>&1 &
+  note "decoder CPU smoke watcher launched"
+fi
 
 # ---- 1. TPU probe ----
 ok=""
