@@ -43,13 +43,25 @@ note "r4 queue: waiting for training chain (pid $(cat /tmp/chain.pid))"
 while kill -0 "$(cat /tmp/chain.pid)" 2>/dev/null; do sleep 60; done
 sleep 30; probe 30 || exit 1
 
-SNAP=""
-for name in finegrained_reg_3dmatch_synthx3_cur finegrained_reg_3dmatch_synthxl_w; do
-  for kind in best latest; do
-    f="results/snapshots/${name}_${kind}.npz"
-    [ -f "$f" ] && { SNAP="$f"; break 2; }
-  done
-done
+# Pick the flagship snapshot with the HIGHEST training step (not a
+# fixed lineage preference): in a reset-shortened window stage A keeps
+# training under the synthxl_w prefix and stage B may never start, so
+# a fixed x3_cur-first order would eval a stale mirror and throw away
+# the round's training. Tie-break: best before latest.
+SNAP=$(python - <<'PYEOF'
+import numpy as np, glob
+best, best_key = "", (-1, 0)
+for f in sorted(glob.glob('results/snapshots/finegrained_reg_3dmatch_synth*_{best,latest}.npz'.replace('{best,latest}','*'))):
+    kind = 1 if f.endswith('_best.npz') else 0
+    try:
+        step = int(np.load(f, allow_pickle=True)['__step__'])
+    except Exception:
+        continue
+    if (step, kind) > best_key:
+        best_key, best = (step, kind), f
+print(best)
+PYEOF
+)
 [ -z "$SNAP" ] && { note "no snapshot found"; exit 1; }
 note "model: $SNAP ($(left))s left"
 mkdir -p results/evals
