@@ -92,7 +92,7 @@ run_eval() { # tag, budget_s, extra args...
   # per-scene artifacts (errors.npy/flag.npy) for the failure autopsy
   if [ -n "$d" ] && ls "$d"/*/errors.npy >/dev/null 2>&1; then
     mkdir -p "results/evals/${tag}_scenes"
-    (cd "$d" && tar cf - */errors.npy */flag.npy 2>/dev/null) | \
+    (cd "$d" && tar cf - */errors.npy */flag.npy */est.log 2>/dev/null) | \
       (cd "results/evals/${tag}_scenes" && tar xf -) || true
   fi
   git add results >/dev/null 2>&1 && git commit -q -m "results: $tag eval artifacts" || true
