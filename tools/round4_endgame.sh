@@ -79,9 +79,11 @@ fi
 run_eval() { # tag, budget_s, extra args...
   local tag=$1 budget=$2; shift 2
   [ "$(left)" -lt 900 ] && { note "skip $tag (deadline)"; return; }
-  # keep 180s clear of END_TS: the graceful-stop epilogue (drain +
-  # partial scoring) must finish before the driver's own bench run
-  local m=$(( $(left) - 180 ))
+  # keep 960s clear of END_TS: a SIGTERM'd eval that is blocked in a
+  # remote compile only dies at the 900s graceful-stop SIGALRM, so a
+  # thinner margin can leak a live JAX process into the driver's own
+  # bench run (the tunnel-wedge class that lost BENCH_r03)
+  local m=$(( $(left) - 960 ))
   [ "$budget" -gt "$m" ] && budget=$m
   note "eval $tag start (budget ${budget}s)"
   timeout "$budget" python test.py --resume "$SNAP" "$@" > "/tmp/eval_${tag}.log" 2>&1
@@ -116,7 +118,7 @@ run_eval r4_3DLoMatch_ransac 2400 --benchmark 3DLoMatch --config conf/3dmatch_sy
 # ---- 6b. banded-kNN pairs/s (item 3's other half: the ship case
 # needs the measured win, the close case quotes it in DESIGN §13)
 if [ "$(left)" -gt 1500 ]; then
-  B=$(( $(left) - 300 )); [ "$B" -gt 2400 ] && B=2400
+  B=$(( $(left) - 960 )); [ "$B" -gt 2400 ] && B=2400
   note "bench_variants banded_034_L0 (budget ${B}s)"
   timeout "$B" python tools/bench_variants.py --only banded_034_L0 \
     > results/evals/r4_banded_throughput.log 2>&1
@@ -128,7 +130,7 @@ fi
 # ---- 7. batch-amortized serving throughput (VERDICT item 4;
 # normally already banked by the bootstrap's stage 2b)
 if [ ! -s results/evals/r4_batch_throughput.log ] && [ "$(left)" -gt 1200 ]; then
-  B=$(( $(left) - 300 )); [ "$B" -gt 3000 ] && B=3000
+  B=$(( $(left) - 960 )); [ "$B" -gt 3000 ] && B=3000
   note "bench_variants batch2,batch4 (budget ${B}s)"
   timeout "$B" python tools/bench_variants.py --only baseline,batch2,batch4 \
     > results/evals/r4_batch_throughput.log 2>&1
@@ -145,7 +147,7 @@ run_eval r4_3DLoMatch_rsel 2400 --benchmark 3DLoMatch --config conf/3dmatch_synt
 # runs it nice-19 on the host in parallel with training, precisely so
 # this lowest-priority TPU slot can go to the RR evals instead).
 if [ ! -s results/evals/r4_decoder_smoke.log ] && [ "$(left)" -gt 1500 ]; then
-  B=$(( $(left) - 400 )); [ "$B" -gt 2400 ] && B=2400
+  B=$(( $(left) - 960 )); [ "$B" -gt 2400 ] && B=2400
   note "decoder smoke (budget ${B}s)"
   timeout "$B" python train.py --config conf/modelnet_synth_decoder.yaml \
     --niter 1500 --num_workers 2 --summary_every 200 --validate_every 300 \
