@@ -27,6 +27,16 @@ END_TS=${END_TS:-$(( $(date +%s) + 7200 ))}   # round end minus safety margin
 # by construction. Set CAP_TS explicitly only to tighten further.
 CAP=${CAP_TS:-$END_TS}
 [ "$END_TS" -gt "$CAP" ] && END_TS=$CAP
+# File-based cap: lets the operator tighten the deadline AFTER the
+# bootstrap chain is already in flight (its env is frozen at launch).
+# Written when a better round-end estimate exists (e.g. derived from
+# PROGRESS.jsonl wall_s) than the one the bootstrap was started with.
+if [ -s /tmp/r4_cap_ts ]; then
+  FCAP=$(cat /tmp/r4_cap_ts)
+  case "$FCAP" in (*[!0-9]*|'') ;; (*)
+    [ "$END_TS" -gt "$FCAP" ] && { END_TS=$FCAP; } ;;
+  esac
+fi
 note() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 left() { echo $(( END_TS - $(date +%s) )); }
 probe() {
