@@ -26,6 +26,27 @@ LOG=/tmp/round4_bootstrap.log
 note() { echo "$(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 ROUND_END_TS=${ROUND_END_TS:-$(( $(date +%s) + 8 * 3600 ))}
+# The driver's PROGRESS.jsonl is the authority on how much of the
+# round's 8h wall budget is already spent (wall_s accrues only while
+# the builder session is live, so after a mid-round reset the env
+# estimate above is too generous — the eighth reset proved it). Use
+# the derived deadline when it is tighter than the env one.
+DERIVED=$(python - <<'PYEOF' 2>/dev/null
+import json
+last = None
+for ln in open('PROGRESS.jsonl'):
+    ln = ln.strip()
+    if ln:
+        try: last = json.loads(ln)
+        except Exception: pass
+if last and 'ts' in last and 'wall_s' in last:
+    print(int(last['ts'] - last['wall_s'] + 8 * 3600))
+PYEOF
+)
+if [ -n "${DERIVED:-}" ] && [ "$DERIVED" -lt "$ROUND_END_TS" ] 2>/dev/null; then
+  echo "$(date +%H:%M:%S) deadline: PROGRESS-derived $DERIVED tighter than env $ROUND_END_TS" >> /tmp/round4_bootstrap.log
+  ROUND_END_TS=$DERIVED
+fi
 ENDGAME_S=${ENDGAME_S:-5400}   # reserve for evals (incl. their compiles)
 left() { echo $(( ROUND_END_TS - $(date +%s) )); }
 note "bootstrap: $(left)s to round end, ${ENDGAME_S}s endgame reserve"
