@@ -261,13 +261,19 @@ def main():
     ap.add_argument("--val_scenes", type=int, default=2)
     ap.add_argument("--test_scenes", type=int, default=3)
     ap.add_argument("--frags", type=int, default=8)
-    ap.add_argument("--lo_overlap", type=float, default=None,
+    ap.add_argument("--lo_overlap", type=float, nargs="+", default=None,
                     help="if set (e.g. 0.10), ALSO emit a curriculum band "
                          "train_cur_info.pkl with pairs in "
                          "[lo_overlap, 1.01) — the Predator-protocol "
                          "train band (>0.30) is emitted unchanged; point "
                          "a config's train_pkl: train_cur at it to train "
-                         "with low-overlap pairs included")
+                         "with low-overlap pairs included. Extra values "
+                         "emit extra bands named train_curNN (NN = "
+                         "100*lo), e.g. '--lo_overlap 0.10 0.05' adds "
+                         "train_cur05 with pairs in [0.05, 1.01). Bands "
+                         "never consume RNG (scene/fragment streams are "
+                         "seeded per scene), so adding one leaves every "
+                         "other emitted file bit-identical.")
     args = ap.parse_args()
 
     root = args.root
@@ -277,8 +283,10 @@ def main():
     # train + val: overlap > 0.30 only (Predator train protocol);
     # optional train_cur curriculum band includes low-overlap pairs.
     train_bands = {"train": (0.30, 1.01)}
-    if args.lo_overlap is not None:
-        train_bands["train_cur"] = (args.lo_overlap, 1.01)
+    for idx, lo in enumerate(args.lo_overlap or []):
+        name = ("train_cur" if idx == 0
+                else f"train_cur{int(round(lo * 100)):02d}")
+        train_bands[name] = (lo, 1.01)
     tr_infos, _, _ = build_split(
         root, "train", range(args.train_scenes), args.frags, rng,
         train_bands)

@@ -9,7 +9,7 @@ note() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 
 note "x3 (960 scenes) start"
 python tools/make_synthetic_3dmatch.py --root datasets/3dmatch_synthx3 \
-    --train_scenes 960 --val_scenes 4 --test_scenes 8 --lo_overlap 0.10 \
+    --train_scenes 960 --val_scenes 4 --test_scenes 8 --lo_overlap 0.10 0.05 \
     >> "$LOG" 2>&1
 note "x3 rc=$?"
 [ -f datasets/3dmatch_synthx3/data/train_cur_pairs-overlapmask.h5 ] && touch /tmp/x3_ready
