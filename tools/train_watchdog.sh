@@ -77,6 +77,14 @@ while [ "$(date +%s)" -lt $(( WATCHDOG_END_TS - 1200 )) ]; do
   # script dies mid-recovery the chain unblocks by itself)
   setsid sleep 1200 < /dev/null > /dev/null 2>&1 &
   echo $! > "$PID_FILE"
+  # 1b. capture all-thread Python stacks for the root-cause dig —
+  # ONLY if this trainer registered the handler (an unregistered
+  # SIGUSR1 would terminate it without the stack dump)
+  if grep -aq "faulthandler: SIGUSR1 registered" "$LG"; then
+    note "dumping thread stacks (SIGUSR1)"
+    kill -USR1 "$TP" 2>/dev/null; sleep 5
+    tail -150 "$LG" > "/tmp/hang_stacks_$(date +%H%M).log" 2>/dev/null
+  fi
   # 2. kill the wedged trainer (TERM, TERM, KILL)
   kill -TERM "$TP" 2>/dev/null; sleep 45
   kill -0 "$TP" 2>/dev/null && { kill -TERM "$TP" 2>/dev/null; sleep 30; }

@@ -40,6 +40,15 @@ def parse_args():
 def main():
     args = parse_args()
 
+    # Stack dumps on demand: the trainer can wedge with every thread in
+    # futex_wait (post-checkpoint deadlock, STATUS.md round 3/4c).
+    # `kill -USR1 <pid>` dumps all Python thread stacks to stderr so
+    # the next hang yields a root cause, not just a watchdog restart.
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    print("faulthandler: SIGUSR1 registered", flush=True)
+
     # FGFUSION_PLATFORM=cpu forces host execution (see test.py);
     # FGFUSION_HOST_DEVICES=N adds N virtual host devices (multi-chip
     # rehearsal without hardware).
