@@ -59,6 +59,13 @@ def parse_args():
 def main():
     args = parse_args()
 
+    # `kill -USR1 <pid>` dumps all Python thread stacks (same hang
+    # diagnostics as train.py — see STATUS.md post-checkpoint deadlock).
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    print("faulthandler: SIGUSR1 registered", flush=True)
+
     # FGFUSION_PLATFORM=cpu runs the eval on the host (the env var
     # JAX_PLATFORMS alone is ignored: sitecustomize registers the axon
     # TPU plugin at interpreter boot) — lets evals proceed while a
