@@ -66,7 +66,16 @@ while [ "$(date +%s)" -lt $(( WATCHDOG_END_TS - 1200 )) ]; do
   [ -f /tmp/fgfusion_stop ] && continue
   LG=$(newest_log); [ -z "$LG" ] && continue
   AGE=$(last_step_age "$LG")
-  [ "$AGE" -lt "$STALL_S" ] && continue   # healthy, pre-step, or unknown
+  if [ "$AGE" -lt 0 ]; then
+    # no step line yet: either a legitimate cold compile (up to ~40
+    # min via the relay) or a trainer wedged in backend init. Use the
+    # log file's mtime with a much larger bound.
+    MAGE=$(( $(date +%s) - $(stat -c %Y "$LG") ))
+    [ "$MAGE" -lt 4500 ] && continue
+    note "no step line and log silent ${MAGE}s — treating as init hang"
+  elif [ "$AGE" -lt "$STALL_S" ]; then
+    continue   # healthy
+  fi
   # confirm 0 CPU over 30s (a busy trainer is never hung)
   u1=$(awk '{print $14+$15}' "/proc/$TP/stat" 2>/dev/null) || continue
   sleep 30
