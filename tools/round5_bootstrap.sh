@@ -1,0 +1,176 @@
+#!/bin/bash
+# Round-5 bootstrap: ONE entrypoint for round 5 (and any VM reset in
+# it). Same skeleton as round4_bootstrap.sh (probe -> bench warm ->
+# warm-start training chain -> endgame) plus:
+#   - deadline auto-derived from PROGRESS.jsonl (authoritative wall
+#     budget; env ROUND_END_TS only tightens it)
+#   - the training-hang watchdog is launched alongside the trainer
+#     (post-checkpoint futex deadlock, STATUS.md rounds 3/4c)
+#   - stage C: an extended-curriculum fine-tune on the [0.05,1.01)
+#     band (conf/3dmatch_synthx3_cur05.yaml) for the last STAGEC_S of
+#     the train window — the VERDICT-W2 experiment targeting the
+#     near-dead [0.10,0.20) 3DLoMatch bin. Disable with STAGE_C=0.
+#     The endgame A/B-compares the cur and cur05 lineages.
+#
+# Usage (detached, NO subshell parens):
+#   setsid nohup bash tools/round5_bootstrap.sh > /tmp/r5.log 2>&1 &
+# (ROUND_END_TS=<epoch> optional — the PROGRESS-derived deadline is
+# used when tighter.)
+set -u
+cd /root/repo
+LOG=/tmp/round5_bootstrap.log
+note() { echo "$(date +%H:%M:%S) $*" | tee -a "$LOG"; }
+
+ROUND_END_TS=${ROUND_END_TS:-$(( $(date +%s) + 8 * 3600 ))}
+DERIVED=$(python - <<'PYEOF' 2>/dev/null
+import json
+last = None
+for ln in open('PROGRESS.jsonl'):
+    ln = ln.strip()
+    if ln:
+        try: last = json.loads(ln)
+        except Exception: pass
+if last and 'ts' in last and 'wall_s' in last:
+    print(int(last['ts'] - last['wall_s'] + 8 * 3600))
+PYEOF
+)
+if [ -n "${DERIVED:-}" ] && [ "$DERIVED" -lt "$ROUND_END_TS" ] 2>/dev/null; then
+  note "deadline: PROGRESS-derived $DERIVED tighter than env $ROUND_END_TS"
+  ROUND_END_TS=$DERIVED
+fi
+ENDGAME_S=${ENDGAME_S:-5400}
+STAGE_C=${STAGE_C:-1}
+STAGEC_S=${STAGEC_S:-5400}
+left() { echo $(( ROUND_END_TS - $(date +%s) )); }
+note "bootstrap r5: $(left)s to round end, ${ENDGAME_S}s endgame, stageC=${STAGE_C}/${STAGEC_S}s"
+
+# ---- 0. durability watcher + dataset regen (CPU, niced) ----
+if ! { [ -f /tmp/committer.pid ] && kill -0 "$(cat /tmp/committer.pid)" 2>/dev/null; }; then
+  (setsid nohup bash tools/snapshot_committer.sh > /dev/null 2>&1 & \
+   echo $! > /tmp/committer.pid)
+fi
+rm -f /tmp/x3_ready /tmp/modelnet_ready /tmp/mcd_ready
+if [ ! -f datasets/3dmatch_synthx3/data/train_cur_pairs-overlapmask.h5 ]; then
+  (setsid nohup nice -n 15 bash tools/round3c_regen.sh > /dev/null 2>&1 & \
+   echo $! > /tmp/regen.pid)
+  note "dataset regen launched (pid $(cat /tmp/regen.pid))"
+else
+  touch /tmp/x3_ready; note "x3 data already present"
+fi
+
+# ---- 1. TPU probe ----
+ok=""
+for i in $(seq 40); do
+  if timeout 240 python tools/tpu_probe.py 2>/dev/null | grep -q "TPU OK"; then
+    ok=1; note "TPU OK (try $i)"; break
+  fi
+  note "TPU not answering (try $i)"; sleep 60
+done
+[ -z "$ok" ] && { note "TPU never answered; aborting"; exit 1; }
+
+# ---- 2. bench warm (driver-critical program FIRST) ----
+if [ "$(left)" -gt $(( ENDGAME_S + 2700 )) ]; then
+  note "bench warm start"
+  timeout 2700 python bench.py > /tmp/r5_bench.json 2>/tmp/r5_bench_err.log
+  note "bench rc=$?: $(tail -1 /tmp/r5_bench.json 2>/dev/null)"
+else
+  note "skip bench warm (deadline)"
+fi
+
+# ---- 3. training chain ----
+SNAP=$(python - <<'PYEOF'
+import numpy as np, glob
+best, key = "", (-1, 0)
+for f in glob.glob('results/snapshots/finegrained_reg_3dmatch_synth*.npz'):
+    kind = 1 if f.endswith('_best.npz') else 0
+    try:
+        step = int(np.load(f, allow_pickle=True)['__step__'])
+    except Exception:
+        continue
+    if (step, kind) > key:
+        key, best = (step, kind), f
+print(best)
+PYEOF
+)
+TRAIN_S=$(( $(left) - ENDGAME_S ))
+launch_train() { # cfg snap
+  echo "$1" > /tmp/r4_train_cfg
+  (setsid nohup python train.py --config "$1" --resume "$2" \
+      --niter 200000 --num_workers 2 --summary_every 200 \
+      --validate_every 1000 > "/tmp/r5_train_$(date +%H%M%S).log" 2>&1 & \
+   echo $! > /tmp/r4_train.pid)
+  note "train launched: $1 from $2 (pid $(cat /tmp/r4_train.pid))"
+}
+stop_train() { # graceful; returns 0 when dead
+  local D
+  D=$(ls -dt logs/*/2* 2>/dev/null | head -1)
+  [ -n "$D" ] && touch "${D}/STOP"; touch /tmp/fgfusion_stop
+  for i in $(seq 60); do
+    kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || { rm -f /tmp/fgfusion_stop; return 0; }
+    sleep 20
+  done
+  kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null && return 1
+  rm -f /tmp/fgfusion_stop; return 0
+}
+newest_snap() {
+  ls -t results/snapshots/finegrained_reg_3dmatch_synth*_latest.npz 2>/dev/null | head -1
+}
+
+if [ -n "$SNAP" ] && [ "$TRAIN_S" -gt 2400 ]; then
+  TRAIN_DEADLINE=$(( $(date +%s) + TRAIN_S ))
+  # hang watchdog rides the whole train window
+  WATCHDOG_END_TS=$TRAIN_DEADLINE setsid nohup bash tools/train_watchdog.sh \
+    > /tmp/watchdog.log 2>&1 &
+  note "watchdog launched"
+
+  if [ -f /tmp/x3_ready ]; then CFG=conf/3dmatch_synthx3_cur.yaml
+  else CFG=conf/3dmatch_synthxl_warm.yaml; fi
+  launch_train "$CFG" "$SNAP"
+  STAGEC_DONE=""
+  while [ "$(date +%s)" -lt "$TRAIN_DEADLINE" ]; do
+    kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || { note "train exited"; break; }
+    # stage A -> B when x3 lands
+    if [ "$CFG" = conf/3dmatch_synthxl_warm.yaml ] && [ -f /tmp/x3_ready ]; then
+      note "x3 ready: switching to stage B"
+      if stop_train; then
+        CFG=conf/3dmatch_synthx3_cur.yaml
+        launch_train "$CFG" "$(newest_snap || echo "$SNAP")"
+      else
+        note "stage A still alive after stop wait; retrying later"
+      fi
+    fi
+    # stage B -> C for the final STAGEC_S of the window
+    if [ "$STAGE_C" = 1 ] && [ -z "$STAGEC_DONE" ] \
+       && [ "$CFG" = conf/3dmatch_synthx3_cur.yaml ] \
+       && [ -f datasets/3dmatch_synthx3/data/train_cur05_pairs-overlapmask.h5 ] \
+       && [ $(( TRAIN_DEADLINE - $(date +%s) )) -lt "$STAGEC_S" ]; then
+      note "stage C window: switching to the cur05 extended band"
+      if stop_train; then
+        CFG=conf/3dmatch_synthx3_cur05.yaml; STAGEC_DONE=1
+        launch_train "$CFG" "$(newest_snap || echo "$SNAP")"
+      else
+        note "stage B still alive after stop wait; retrying later"
+      fi
+    fi
+    sleep 60
+  done
+  if kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null; then
+    note "train deadline: graceful stop"
+    D=$(ls -dt logs/*/2* 2>/dev/null | head -1)
+    [ -n "$D" ] && touch "${D}/STOP"; touch /tmp/fgfusion_stop
+    for i in $(seq 90); do
+      kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || break; sleep 20
+    done
+    kill -0 "$(cat /tmp/r4_train.pid)" 2>/dev/null || rm -f /tmp/fgfusion_stop
+  fi
+else
+  note "skip training (no snapshot or <2400s budget)"
+fi
+
+# ---- 4. endgame ----
+TP=$(cat /tmp/r4_train.pid 2>/dev/null || echo 99999999)
+kill -0 "$TP" 2>/dev/null && note "train pid $TP STILL ALIVE at endgame handoff" \
+  || TP=99999999
+echo "$TP" > /tmp/chain.pid
+END_TS=$(( ROUND_END_TS - 120 )) bash tools/round5_endgame.sh
+note "bootstrap r5 done"

@@ -22,6 +22,10 @@ set -u
 cd /root/repo
 PID_FILE=${PID_FILE:-/tmp/r4_train.pid}
 STALL_S=${STALL_S:-1500}
+# active config: the bootstrap writes /tmp/r4_train_cfg at each stage
+# launch so a recovery resumes the RIGHT stage's config; env CFG is
+# the fallback for hand-driven runs
+CFG_FILE=/tmp/r4_train_cfg
 CFG=${CFG:-conf/3dmatch_synthx3_cur.yaml}
 WATCHDOG_END_TS=${WATCHDOG_END_TS:?set WATCHDOG_END_TS}
 note() { echo "$(date +%H:%M:%S) $*"; }
@@ -111,6 +115,7 @@ while [ "$(date +%s)" -lt $(( WATCHDOG_END_TS - 1200 )) ]; do
   # 4. resume from the newest flagship mirror
   SNAP=$(pick_snap)
   [ -z "$SNAP" ] && { note "no snapshot!"; exit 1; }
+  [ -s "$CFG_FILE" ] && CFG=$(cat "$CFG_FILE")
   note "resuming $CFG from $SNAP"
   (setsid nohup python train.py --config "$CFG" --resume "$SNAP" \
       --niter 200000 --num_workers 2 --summary_every 200 \
