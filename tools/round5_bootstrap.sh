@@ -38,6 +38,17 @@ if [ -n "${DERIVED:-}" ] && [ "$DERIVED" -lt "$ROUND_END_TS" ] 2>/dev/null; then
   note "deadline: PROGRESS-derived $DERIVED tighter than env $ROUND_END_TS"
   ROUND_END_TS=$DERIVED
 fi
+# Post-budget reset guard (ninth reset, round 4d): when the round's
+# wall budget was already spent before the reset, the derived deadline
+# lands in the PAST and every stage below would self-skip — including
+# the driver-critical bench cache warm. A running builder session
+# implies SOME budget remains: assume a conservative 1h window so the
+# chain still probes, warms bench, and runs a short endgame.
+if [ "$ROUND_END_TS" -lt $(( $(date +%s) + 900 )) ]; then
+  ROUND_END_TS=$(( $(date +%s) + 3600 ))
+  ENDGAME_S=1800
+  note "deadline already past/imminent: assuming a 1h post-budget window (endgame reserve ${ENDGAME_S}s)"
+fi
 ENDGAME_S=${ENDGAME_S:-5400}
 STAGE_C=${STAGE_C:-1}
 STAGEC_S=${STAGEC_S:-5400}
