@@ -87,6 +87,12 @@ if [ "$(left)" -gt $(( ENDGAME_S + 2700 )) ]; then
 else
   note "skip bench warm (deadline)"
 fi
+# the driver's entry() compile-check is a separate tiny program family
+if [ "$(left)" -gt $(( ENDGAME_S + 900 )) ]; then
+  note "entry warm start"
+  timeout 900 python tools/warm_entry.py >> "$LOG" 2>&1
+  note "entry warm rc=$?"
+fi
 
 # ---- 3. training chain ----
 SNAP=$(python - <<'PYEOF'
